@@ -1,0 +1,163 @@
+"""Named curve/field configuration registry.
+
+The TPU-native analogue of the reference's `declareCurves:` DSL and constants
+zoo (constantine/named/config_fields_and_curves.nim:45-289 and
+constantine/named/constants/). Parameters are public mathematical constants;
+derived values (Montgomery constants, Frobenius coefficients, GLV lattices,
+roots of unity) are computed at registry-build time in precompute.py —
+mirroring the reference's compile-time derivation
+(constantine/named/deriv/precompute.nim:293-489) — and validated against the
+host-side reference math in utils/refmath.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class CurveParams:
+    name: str
+    p: int                      # base field modulus
+    r: int                      # subgroup order (scalar field modulus)
+    a: int = 0                  # short-Weierstrass a
+    b: int = 0                  # short-Weierstrass b
+    gx: Optional[int] = None    # G1 generator
+    gy: Optional[int] = None
+    cofactor: int = 1
+    family: str = ""            # 'bls12' | 'bn' | 'plain'
+    x_param: Optional[int] = None   # BLS12 x / BN u (may be negative)
+    # --- sextic-tower / pairing parameters (pairing-friendly curves only) ---
+    fp2_nonresidue: Optional[int] = None          # u^2 = nr  (e.g. -1)
+    fp6_nonresidue: Optional[Tuple[int, int]] = None  # xi in Fp2, v^3 = xi
+    twist_kind: Optional[str] = None              # 'M' or 'D'
+    g2_b: Optional[Tuple[Tuple[int, int], ...]] = None  # twist b coeff in Fp2
+    g2_gx: Optional[Tuple[int, int]] = None       # G2 generator (Fp2 coords)
+    g2_gy: Optional[Tuple[int, int]] = None
+    g2_cofactor: int = 1
+
+
+# -- BLS12-381 ---------------------------------------------------------------
+# Parameters: see the reference's declareCurves entry
+# (constantine/named/config_fields_and_curves.nim, BLS12_381) and the
+# IETF pairing-friendly-curves draft. x = -0xd201000000010000.
+
+_BLS12_381_P = 0x1A0111EA397FE69A4B1BA7B6434BACD764774B84F38512BF6730D2A0F6B0F6241EABFFFEB153FFFFB9FEFFFFFFFFAAAB
+_BLS12_381_R = 0x73EDA753299D7D483339D80809A1D80553BDA402FFFE5BFEFFFFFFFF00000001
+
+BLS12_381 = CurveParams(
+    name="BLS12_381",
+    p=_BLS12_381_P,
+    r=_BLS12_381_R,
+    a=0,
+    b=4,
+    gx=0x17F1D3A73197D7942695638C4FA9AC0FC3688C4F9774B905A14E3A3F171BAC586C55E83FF97A1AEFFB3AF00ADB22C6BB,
+    gy=0x08B3F481E3AAA0F1A09E30ED741D8AE4FCF5E095D5D00AF600DB18CB2C04B3EDD03CC744A2888AE40CAA232946C5E7E1,
+    cofactor=0x396C8C005555E1568C00AAAB0000AAAB,
+    family="bls12",
+    x_param=-0xD201000000010000,
+    fp2_nonresidue=-1,
+    fp6_nonresidue=(1, 1),       # xi = 1 + u
+    twist_kind="M",              # E'/Fp2 : y^2 = x^3 + 4*(1+u)
+    g2_b=((4, 4),),
+    g2_gx=(
+        0x024AA2B2F08F0A91260805272DC51051C6E47AD4FA403B02B4510B647AE3D1770BAC0326A805BBEFD48056C8C121BDB8,
+        0x13E02B6052719F607DACD3A088274F65596BD0D09920B61AB5DA61BBDC7F5049334CF11213945D57E5AC7D055D042B7E,
+    ),
+    g2_gy=(
+        0x0CE5D527727D6E118CC9CDC6DA2E351AADFD9BAA8CBDD3A76D429A695160D12C923AC9CC3BACA289E193548608B82801,
+        0x0606C4A02EA734CC32ACD2B02BC28B99CB3E287E85A763AF267492AB572E99AB3F370D275CEC1DA1AAA9075FF05F79BE,
+    ),
+    g2_cofactor=0x5D543A95414E7F1091D50792876A202CD91DE4547085ABAA68A205B2E5A7DDFA628F1CB4D9E82EF21537E293A6691AE1616EC6E786F0C70CF1C38E31C7238E5,
+)
+
+# -- BN254-Snarks (alt_bn128, the Ethereum precompile curve) ------------------
+# Reference: config_fields_and_curves.nim BN254_Snarks. u = 0x44E992B44A6909F1.
+
+_BN254_P = 21888242871839275222246405745257275088696311157297823662689037894645226208583
+_BN254_R = 21888242871839275222246405745257275088548364400416034343698204186575808495617
+
+BN254_Snarks = CurveParams(
+    name="BN254_Snarks",
+    p=_BN254_P,
+    r=_BN254_R,
+    a=0,
+    b=3,
+    gx=1,
+    gy=2,
+    cofactor=1,
+    family="bn",
+    x_param=0x44E992B44A6909F1,
+    fp2_nonresidue=-1,
+    fp6_nonresidue=(9, 1),       # xi = 9 + u
+    twist_kind="D",              # E'/Fp2 : y^2 = x^3 + 3/(9+u)
+    g2_gx=(
+        10857046999023057135944570762232829481370756359578518086990519993285655852781,
+        11559732032986387107991004021392285783925812861821192530917403151452391805634,
+    ),
+    g2_gy=(
+        8495653923123431417604973247489272438418190587263600148770280649306958101930,
+        4082367875863433681332203403145435568316851327593401208105741076214120093531,
+    ),
+)
+
+# -- Pasta curves (Pallas / Vesta) --------------------------------------------
+# Reference: config_fields_and_curves.nim Pallas/Vesta entries.
+
+_PALLAS_P = 0x40000000000000000000000000000000224698FC094CF91B992D30ED00000001
+_VESTA_P = 0x40000000000000000000000000000000224698FC0994A8DD8C46EB2100000001
+
+Pallas = CurveParams(
+    name="Pallas", p=_PALLAS_P, r=_VESTA_P, a=0, b=5,
+    gx=None, gy=None, family="plain",
+)
+Vesta = CurveParams(
+    name="Vesta", p=_VESTA_P, r=_PALLAS_P, a=0, b=5,
+    gx=None, gy=None, family="plain",
+)
+
+# -- secp256k1 ----------------------------------------------------------------
+
+Secp256k1 = CurveParams(
+    name="Secp256k1",
+    p=2**256 - 2**32 - 977,
+    r=0xFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFEBAAEDCE6AF48A03BBFD25E8CD0364141,
+    a=0,
+    b=7,
+    gx=0x79BE667EF9DCBBAC55A06295CE870B07029BFCDB2DCE28D959F2815B16F81798,
+    gy=0x483ADA7726A3C4655DA4FBFC0E1108A8FD17B448A68554199C47D08FFB10D4B8,
+    family="plain",
+)
+
+# -- NIST P-256 ----------------------------------------------------------------
+
+P256 = CurveParams(
+    name="P256",
+    p=0xFFFFFFFF00000001000000000000000000000000FFFFFFFFFFFFFFFFFFFFFFFF,
+    r=0xFFFFFFFF00000000FFFFFFFFFFFFFFFFBCE6FAADA7179E84F3B9CAC2FC632551,
+    a=-3,
+    b=0x5AC635D8AA3A93E7B3EBBD55769886BC651D06B0CC53B0F63BCE3C3E27D2604B,
+    gx=0x6B17D1F2E12C4247F8BCE6E563A440F277037D812DEB33A0F4A13945D898C296,
+    gy=0x4FE342E2FE1A7F9B8EE7EB4A7C0F9E162BCE33576B315ECECBB6406837BF51F5,
+    family="plain",
+)
+
+# -- Small test fields (analogue of the reference's -d:CTT_TEST_CURVES fakes,
+#    config_fields_and_curves.nim:48-75) --------------------------------------
+
+TEST_FIELDS = {
+    "F5": 5,
+    "F101": 101,            # reference 'Fake101'
+    "F10007": 10007,
+    "F65519": 65519,
+    "Mersenne61": (1 << 61) - 1,
+    "Mersenne127": (1 << 127) - 1,
+    "BabyBear": (1 << 31) - (1 << 27) + 1,
+    "KoalaBear": (1 << 31) - (1 << 24) + 1,
+    "Goldilocks": (1 << 64) - (1 << 32) + 1,
+}
+
+CURVES = {
+    c.name: c for c in (BLS12_381, BN254_Snarks, Pallas, Vesta, Secp256k1, P256)
+}

@@ -1,0 +1,221 @@
+"""EIP-4844 (Deneb) KZG protocol: blob commitments and proofs.
+
+Re-design of the reference's protocol layer
+(constantine/ethereum_eip4844_kzg.nim:126-487: fiatShamirChallenge,
+blob_to_bigint_polynomial:207, blob_to_kzg_commitment:297,
+compute_kzg_proof:332, verify_kzg_proof:380, compute_blob_kzg_proof:409,
+verify_blob_kzg_proof:449, verify_blob_kzg_proof_batch:487). The byte-level
+Fiat-Shamir transcript layout follows the Ethereum consensus spec
+(deneb/polynomial-commitments.md); bit-exactness is gated on the 253 Deneb
+YAML vectors (tests/protocol_ethereum_eip4844_deneb_kzg in the reference).
+
+Status handling: functions return None on invalid input (the analogue of the
+reference's cttEthKzg status enum) — the consensus vectors exercise every
+rejection branch.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import limbs as lb
+from ..utils.hashes import sha256
+from ..utils.serialization import get_codec
+from .kzg import KZG, get_kzg
+from .trusted_setup import FIELD_ELEMENTS_PER_BLOB
+
+BYTES_PER_FIELD_ELEMENT = 32
+BYTES_PER_BLOB = BYTES_PER_FIELD_ELEMENT * FIELD_ELEMENTS_PER_BLOB
+FIAT_SHAMIR_PROTOCOL_DOMAIN = b"FSBLOBVERIFY_V1_"
+RANDOM_CHALLENGE_KZG_BATCH_DOMAIN = b"RCKZGBATCH___V1_"
+
+
+# -- blob <-> polynomial ------------------------------------------------------
+
+
+def blob_to_polynomial(blob: bytes):
+    """Blob -> (canonical Fr limbs (4096, L), valid). The blob IS the
+    evaluation form in brp order (blob_to_bigint_polynomial analogue,
+    ethereum_eip4844_kzg.nim:207: each 32-byte chunk must be canonical)."""
+    if len(blob) != BYTES_PER_BLOB:
+        return None, False
+    codec = get_codec()
+    limbs, valid = codec.scalars_from_bytes(blob)
+    return limbs, bool(valid.all())
+
+
+def _fr_bytes_to_mont(data: bytes):
+    """32-byte BE scalar -> (Montgomery (L,), valid)."""
+    codec = get_codec()
+    limbs, valid = codec.scalars_from_bytes(data)
+    if not valid.all():
+        return None, False
+    fr = codec.fr
+    return fr.to_mont(jnp.asarray(limbs[0])), True
+
+
+def _fr_mont_to_bytes(y_mont) -> bytes:
+    codec = get_codec()
+    y = np.asarray(jax.device_get(codec.fr.from_mont(y_mont)))
+    return lb.limbs_to_bytes_be(y[None] if y.ndim == 1 else y, 32)
+
+
+def _point_to_bytes(kzg: KZG, P) -> bytes:
+    codec = get_codec()
+    (x, y), inf = kzg.ctx.g1.to_affine(tuple(p[None] for p in P))
+    return codec.g1_compress((x, y), inf)
+
+
+# -- Fiat-Shamir --------------------------------------------------------------
+
+
+def hash_to_bls_field(data: bytes):
+    """sha256(data) interpreted big-endian mod r -> Montgomery scalar."""
+    codec = get_codec()
+    v = int.from_bytes(sha256(data), "big") % codec.ctx.r
+    return jnp.asarray(codec.fr.encode([v])[0])
+
+
+def compute_challenge(blob: bytes, commitment: bytes):
+    """Deneb compute_challenge: sha256(domain || degree_le16 || blob ||
+    commitment) mod r (fiatShamirChallenge, ethereum_eip4844_kzg.nim:126)."""
+    degree = FIELD_ELEMENTS_PER_BLOB.to_bytes(16, "big")
+    return hash_to_bls_field(
+        FIAT_SHAMIR_PROTOCOL_DOMAIN + degree + blob + commitment)
+
+
+# -- public protocol API -------------------------------------------------------
+
+
+def blob_to_kzg_commitment(blob: bytes, kzg: KZG = None):
+    """-> 48-byte commitment, or None on invalid blob
+    (ethereum_eip4844_kzg.nim:297)."""
+    kzg = kzg or get_kzg()
+    poly, ok = blob_to_polynomial(blob)
+    if not ok:
+        return None
+    C = kzg.commit(jnp.asarray(poly))
+    return _point_to_bytes(kzg, C)
+
+
+def compute_kzg_proof(blob: bytes, z_bytes: bytes, kzg: KZG = None):
+    """-> (48-byte proof, 32-byte y), or None (ethereum_eip4844_kzg.nim:332)."""
+    kzg = kzg or get_kzg()
+    poly, ok = blob_to_polynomial(blob)
+    if not ok:
+        return None
+    z_mont, ok = _fr_bytes_to_mont(z_bytes)
+    if not ok:
+        return None
+    evals_mont = kzg.fr.to_mont(jnp.asarray(poly))
+    proof, y = kzg.prove(evals_mont, z_mont)
+    return _point_to_bytes(kzg, proof), _fr_mont_to_bytes(y)
+
+
+def compute_blob_kzg_proof(blob: bytes, commitment_bytes: bytes,
+                           kzg: KZG = None):
+    """-> 48-byte proof, or None (ethereum_eip4844_kzg.nim:409)."""
+    kzg = kzg or get_kzg()
+    poly, ok = blob_to_polynomial(blob)
+    if not ok:
+        return None
+    if not _validate_g1_bytes(commitment_bytes):
+        return None
+    z = compute_challenge(blob, commitment_bytes)
+    evals_mont = kzg.fr.to_mont(jnp.asarray(poly))
+    proof, _y = kzg.prove(evals_mont, z)
+    return _point_to_bytes(kzg, proof)
+
+
+def _validate_g1_bytes(data: bytes) -> bool:
+    if len(data) != 48:
+        return False
+    codec = get_codec()
+    _, _, valid = codec.g1_decompress(data, subgroup_check=True)
+    return bool(np.asarray(valid).all())
+
+
+def verify_kzg_proof(commitment_bytes: bytes, z_bytes: bytes, y_bytes: bytes,
+                     proof_bytes: bytes, kzg: KZG = None):
+    """-> bool, or None on malformed input (ethereum_eip4844_kzg.nim:380).
+    Pairing check: e(P - [y]G1, G2) == e(proof, [tau]G2 - [z]G2)."""
+    kzg = kzg or get_kzg()
+    from .pairing_check import kzg_pairing_verify  # late import (heavy)
+    codec = get_codec()
+    (cx, cy), cinf, cok = codec.g1_decompress(commitment_bytes)
+    (px, py), pinf, pok = codec.g1_decompress(proof_bytes)
+    if not (np.asarray(cok).all() and np.asarray(pok).all()):
+        return None
+    z_mont, ok1 = _fr_bytes_to_mont(z_bytes)
+    y_mont, ok2 = _fr_bytes_to_mont(y_bytes)
+    if not (ok1 and ok2):
+        return None
+    return kzg_pairing_verify(kzg, (cx, cy, cinf), (px, py, pinf),
+                              z_mont, y_mont)
+
+
+def verify_blob_kzg_proof(blob: bytes, commitment_bytes: bytes,
+                          proof_bytes: bytes, kzg: KZG = None):
+    """-> bool or None (ethereum_eip4844_kzg.nim:449)."""
+    kzg = kzg or get_kzg()
+    poly, ok = blob_to_polynomial(blob)
+    if not ok:
+        return None
+    if len(commitment_bytes) != 48 or len(proof_bytes) != 48:
+        return None
+    z = compute_challenge(blob, commitment_bytes)
+    evals_mont = kzg.fr.to_mont(jnp.asarray(poly))
+    y, _hit, _ = kzg.eval_at(evals_mont, z)
+    return verify_kzg_proof(commitment_bytes,
+                            _fr_mont_to_bytes(z),
+                            _fr_mont_to_bytes(y),
+                            proof_bytes, kzg)
+
+
+def verify_blob_kzg_proof_batch(blobs, commitments, proofs, kzg: KZG = None,
+                                rng_seed: bytes = b"\x00" * 32):
+    """Batch verification with random linear combination
+    (ethereum_eip4844_kzg.nim:487, verify_blob_kzg_proof_batch spec).
+    blobs/commitments/proofs: equal-length lists. -> bool or None."""
+    kzg = kzg or get_kzg()
+    if not (len(blobs) == len(commitments) == len(proofs)):
+        return None
+    if len(blobs) == 0:
+        return True
+    from .pairing_check import kzg_pairing_verify_batch
+    codec = get_codec()
+    polys, zs, ys = [], [], []
+    for blob, c in zip(blobs, commitments):
+        poly, ok = blob_to_polynomial(blob)
+        if not ok:
+            return None
+        if len(c) != 48:
+            return None
+        z = compute_challenge(blob, c)
+        evals_mont = kzg.fr.to_mont(jnp.asarray(poly))
+        y, _, _ = kzg.eval_at(evals_mont, z)
+        polys.append(poly)
+        zs.append(z)
+        ys.append(y)
+    (cx, cy), cinf, cok = codec.g1_decompress(b"".join(commitments))
+    (px, py), pinf, pok = codec.g1_decompress(b"".join(proofs))
+    if not (np.asarray(cok).all() and np.asarray(pok).all()):
+        return None
+    # batch randomness: r_powers from sha256 transcript (spec
+    # compute_powers path)
+    n = len(blobs)
+    data = (RANDOM_CHALLENGE_KZG_BATCH_DOMAIN
+            + FIELD_ELEMENTS_PER_BLOB.to_bytes(8, "big")
+            + n.to_bytes(8, "big"))
+    for blob, c, p in zip(blobs, commitments, proofs):
+        data += blob + c + p
+    r = int.from_bytes(sha256(data), "big") % kzg.ctx.r
+    r_powers = [pow(r, i, kzg.ctx.r) for i in range(n)]
+    return kzg_pairing_verify_batch(
+        kzg, (cx, cy, cinf), (px, py, pinf),
+        jnp.stack(zs), jnp.stack(ys),
+        jnp.asarray(kzg.fr.encode(r_powers)))

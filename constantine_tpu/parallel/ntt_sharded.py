@@ -1,0 +1,95 @@
+"""Distributed NTT: four-step (Bailey) decomposition over a device mesh.
+
+TPU-native re-expression of the reference's parallel FFT (SURVEY.md §2.2 P7,
+polynomials_parallel.nim) and of the classic distributed-FFT structure named
+in SURVEY.md §5: local radix-2 stages until the butterfly span exceeds the
+shard, ONE all_to_all transpose, then the remaining stages local.
+
+Math (N = R*C, n = C*r + c, k = k1 + R*k2):
+    X[k1 + R k2] = sum_c w_N^(c k1) w_C^(c k2) sum_r x[C r + c] w_R^(r k1)
+step 1: R-point NTTs along rows (local, batched over the sharded c axis)
+step 2: twiddle multiply by w_N^(c k1) (local, precomputed table)
+step 3: all_to_all: reshard from c-sharded to k1-sharded (ICI transpose)
+step 4: C-point NTTs (local)
+Output: Z[k1, k2] distributed over k1; natural order = Z.T.flatten().
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..ops.ntt import NTTDomain
+from .mesh import DATA_AXIS
+
+
+class ShardedNTT:
+    def __init__(self, curve_name: str, log_n: int, log_c: int, mesh):
+        """N = 2^log_n total elements, C = 2^log_c columns (sharded axis).
+        R = N / C rows. mesh size must divide C and R."""
+        from ..named.precompute import get_curve
+        from ..ops.ntt import get_domain
+        self.ctx = get_curve(curve_name)
+        self.F = self.ctx.fr
+        self.log_n, self.log_c = log_n, log_c
+        self.N = 1 << log_n
+        self.C = 1 << log_c
+        self.R = self.N // self.C
+        self.mesh = mesh
+        omega = self.ctx.root_of_unity(log_n)
+        self.dom_r = NTTDomain(self.F, pow(omega, self.C, self.ctx.r),
+                               log_n - log_c)
+        self.dom_c = NTTDomain(self.F, pow(omega, self.R, self.ctx.r),
+                               log_c)
+        # twiddle table w_N^(c*k1), shape (C, R, L) Montgomery
+        tw = np.empty((self.C, self.R), dtype=object)
+        for c in range(self.C):
+            wc = pow(omega, c, self.ctx.r)
+            cur = 1
+            for k1 in range(self.R):
+                tw[c, k1] = cur
+                cur = cur * wc % self.ctx.r
+        flat = self.F.encode([int(v) for v in tw.reshape(-1)])
+        self.twiddles = jnp.asarray(flat).reshape(self.C, self.R, self.F.L)
+        self._run = self._build()
+
+    def _build(self):
+        F = self.F
+        dom_r, dom_c = self.dom_r, self.dom_c
+        ndev = self.mesh.shape[DATA_AXIS]
+        assert self.C % ndev == 0 and self.R % ndev == 0
+
+        @functools.partial(
+            shard_map, mesh=self.mesh,
+            in_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=P(DATA_AXIS),
+            check_rep=False)
+        def run(xm, tw):
+            # xm: (C/d, R, L) local rows of the (C, R) matrix
+            y = dom_r.ntt(xm)                  # R-point NTTs along axis -2
+            y = F.mul(y, tw)                   # twiddle w_N^(c k1)
+            # reshard: split R axis, concat c axis -> (C, R/d, L)
+            y = jax.lax.all_to_all(y, DATA_AXIS, split_axis=1, concat_axis=0,
+                                   tiled=True)
+            # C-point NTTs along the c axis (axis 0): move to -2
+            y = jnp.swapaxes(y, 0, 1)          # (R/d, C, L)
+            y = dom_c.ntt(y)
+            return y                           # Z[k1, k2] local (R/d, C, L)
+
+        return run
+
+    def ntt(self, x_natural):
+        """x: (N, L) natural order (replicated or host) -> distributed
+        Z (R, C, L) sharded over k1; use to_natural() to undo."""
+        xm = x_natural.reshape(self.R, self.C, self.F.L).swapaxes(0, 1)
+        return self._run(xm, self.twiddles)
+
+    def to_natural(self, Z):
+        """(R, C, L) distributed result -> (N, L) natural order (gathered)."""
+        Z = jax.device_get(Z)
+        return np.asarray(Z).swapaxes(0, 1).reshape(self.N, self.F.L)

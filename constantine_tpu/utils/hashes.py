@@ -1,0 +1,197 @@
+"""Symmetric primitives: SHA-256, Keccak-256, HMAC, HKDF (host-side).
+
+Own implementations of the standard algorithms — the capability analogue of
+the reference's hash stack (constantine/hashes/h_sha256.nim streaming API,
+hashes/keccak/, mac/mac_hmac.nim, kdf/kdf_hkdf.nim). Protocol transcripts
+(Fiat-Shamir) hash a few hundred bytes, so a host implementation is the
+right tool; differential tests vs hashlib mirror the reference's
+tests-vs-OpenSSL strategy (tests/t_hash_sha256_vs_openssl.nim).
+
+A batched JAX SHA-256 for high-throughput hash_to_curve lives in
+ops/sha256_jax.py (planned); this module is the protocol-edge path.
+"""
+
+from __future__ import annotations
+
+import struct
+
+# ---------------------------------------------------------------------------
+# SHA-256 (FIPS 180-4)
+# ---------------------------------------------------------------------------
+
+_K = [
+    0x428a2f98, 0x71374491, 0xb5c0fbcf, 0xe9b5dba5, 0x3956c25b, 0x59f111f1,
+    0x923f82a4, 0xab1c5ed5, 0xd807aa98, 0x12835b01, 0x243185be, 0x550c7dc3,
+    0x72be5d74, 0x80deb1fe, 0x9bdc06a7, 0xc19bf174, 0xe49b69c1, 0xefbe4786,
+    0x0fc19dc6, 0x240ca1cc, 0x2de92c6f, 0x4a7484aa, 0x5cb0a9dc, 0x76f988da,
+    0x983e5152, 0xa831c66d, 0xb00327c8, 0xbf597fc7, 0xc6e00bf3, 0xd5a79147,
+    0x06ca6351, 0x14292967, 0x27b70a85, 0x2e1b2138, 0x4d2c6dfc, 0x53380d13,
+    0x650a7354, 0x766a0abb, 0x81c2c92e, 0x92722c85, 0xa2bfe8a1, 0xa81a664b,
+    0xc24b8b70, 0xc76c51a3, 0xd192e819, 0xd6990624, 0xf40e3585, 0x106aa070,
+    0x19a4c116, 0x1e376c08, 0x2748774c, 0x34b0bcb5, 0x391c0cb3, 0x4ed8aa4a,
+    0x5b9cca4f, 0x682e6ff3, 0x748f82ee, 0x78a5636f, 0x84c87814, 0x8cc70208,
+    0x90befffa, 0xa4506ceb, 0xbef9a3f7, 0xc67178f2,
+]
+
+_H0 = [0x6a09e667, 0xbb67ae85, 0x3c6ef372, 0xa54ff53a,
+       0x510e527f, 0x9b05688c, 0x1f83d9ab, 0x5be0cd19]
+
+_M32 = 0xFFFFFFFF
+
+
+def _rotr(x, n):
+    return ((x >> n) | (x << (32 - n))) & _M32
+
+
+class Sha256:
+    """Streaming SHA-256 (update/finish API like the reference's
+    hashes/h_sha256.nim:1-210)."""
+
+    def __init__(self):
+        self.h = list(_H0)
+        self.buf = b""
+        self.length = 0
+
+    def update(self, data: bytes):
+        self.length += len(data)
+        self.buf += data
+        while len(self.buf) >= 64:
+            self._compress(self.buf[:64])
+            self.buf = self.buf[64:]
+        return self
+
+    def _compress(self, block: bytes):
+        w = list(struct.unpack(">16I", block))
+        for i in range(16, 64):
+            s0 = _rotr(w[i - 15], 7) ^ _rotr(w[i - 15], 18) ^ (w[i - 15] >> 3)
+            s1 = _rotr(w[i - 2], 17) ^ _rotr(w[i - 2], 19) ^ (w[i - 2] >> 10)
+            w.append((w[i - 16] + s0 + w[i - 7] + s1) & _M32)
+        a, b, c, d, e, f, g, h = self.h
+        for i in range(64):
+            s1 = _rotr(e, 6) ^ _rotr(e, 11) ^ _rotr(e, 25)
+            ch = (e & f) ^ (~e & g)
+            t1 = (h + s1 + ch + _K[i] + w[i]) & _M32
+            s0 = _rotr(a, 2) ^ _rotr(a, 13) ^ _rotr(a, 22)
+            maj = (a & b) ^ (a & c) ^ (b & c)
+            t2 = (s0 + maj) & _M32
+            h, g, f, e, d, c, b, a = g, f, e, (d + t1) & _M32, c, b, a, (t1 + t2) & _M32
+        self.h = [(x + y) & _M32 for x, y in
+                  zip(self.h, [a, b, c, d, e, f, g, h])]
+
+    def digest(self) -> bytes:
+        pad = b"\x80" + b"\x00" * ((55 - self.length) % 64)
+        tail = struct.pack(">Q", self.length * 8)
+        clone = Sha256()
+        clone.h = list(self.h)
+        clone.buf = self.buf
+        clone.length = self.length
+        # finalize on the clone without double-counting length
+        data = clone.buf + pad + tail
+        clone.buf = b""
+        for i in range(0, len(data), 64):
+            clone._compress(data[i:i + 64])
+        return struct.pack(">8I", *clone.h)
+
+
+def sha256(data: bytes) -> bytes:
+    return Sha256().update(data).digest()
+
+
+# ---------------------------------------------------------------------------
+# Keccak-256 (pre-NIST padding 0x01, as used by Ethereum)
+# ---------------------------------------------------------------------------
+
+_KECCAK_RC = [
+    0x0000000000000001, 0x0000000000008082, 0x800000000000808A,
+    0x8000000080008000, 0x000000000000808B, 0x0000000080000001,
+    0x8000000080008081, 0x8000000000008009, 0x000000000000008A,
+    0x0000000000000088, 0x0000000080008009, 0x000000008000000A,
+    0x000000008000808B, 0x800000000000008B, 0x8000000000008089,
+    0x8000000000008003, 0x8000000000008002, 0x8000000000000080,
+    0x000000000000800A, 0x800000008000000A, 0x8000000080008081,
+    0x8000000000008080, 0x0000000080000001, 0x8000000080008008,
+]
+_ROT = [[0, 36, 3, 41, 18], [1, 44, 10, 45, 2], [62, 6, 43, 15, 61],
+        [28, 55, 25, 21, 56], [27, 20, 39, 8, 14]]
+_M64 = (1 << 64) - 1
+
+
+def _rotl64(x, n):
+    n %= 64
+    return ((x << n) | (x >> (64 - n))) & _M64
+
+
+def _keccak_f(st):
+    for rc in _KECCAK_RC:
+        # theta
+        c = [st[x][0] ^ st[x][1] ^ st[x][2] ^ st[x][3] ^ st[x][4]
+             for x in range(5)]
+        d = [c[(x - 1) % 5] ^ _rotl64(c[(x + 1) % 5], 1) for x in range(5)]
+        for x in range(5):
+            for y in range(5):
+                st[x][y] ^= d[x]
+        # rho + pi
+        b = [[0] * 5 for _ in range(5)]
+        for x in range(5):
+            for y in range(5):
+                b[y][(2 * x + 3 * y) % 5] = _rotl64(st[x][y], _ROT[x][y])
+        # chi
+        for x in range(5):
+            for y in range(5):
+                st[x][y] = b[x][y] ^ ((~b[(x + 1) % 5][y]) & b[(x + 2) % 5][y] & _M64)
+        # iota
+        st[0][0] ^= rc
+    return st
+
+
+def keccak256(data: bytes) -> bytes:
+    rate = 136
+    st = [[0] * 5 for _ in range(5)]
+    # multi-rate padding pad10*1 (single 0x81 byte when padlen == 1)
+    msg = bytearray(data)
+    padlen = rate - (len(msg) % rate)
+    pad = bytearray(padlen)
+    pad[0] |= 0x01
+    pad[-1] |= 0x80
+    msg += pad
+    for off in range(0, len(msg), rate):
+        block = msg[off:off + rate]
+        for i in range(rate // 8):
+            lane = int.from_bytes(block[8 * i:8 * i + 8], "little")
+            x, y = i % 5, i // 5
+            st[x][y] ^= lane
+        st = _keccak_f(st)
+    out = b""
+    for i in range(4):  # 32 bytes
+        x, y = i % 5, i // 5
+        out += st[x][y].to_bytes(8, "little")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# RIPEMD-160 deferred to the EVM-precompile milestone.
+# HMAC / HKDF (RFC 2104 / RFC 5869) over SHA-256
+# ---------------------------------------------------------------------------
+
+
+def hmac_sha256(key: bytes, msg: bytes) -> bytes:
+    if len(key) > 64:
+        key = sha256(key)
+    key = key + b"\x00" * (64 - len(key))
+    o = bytes(b ^ 0x5C for b in key)
+    i = bytes(b ^ 0x36 for b in key)
+    return sha256(o + sha256(i + msg))
+
+
+def hkdf_extract(salt: bytes, ikm: bytes) -> bytes:
+    return hmac_sha256(salt, ikm)
+
+
+def hkdf_expand(prk: bytes, info: bytes, length: int) -> bytes:
+    out, t = b"", b""
+    i = 1
+    while len(out) < length:
+        t = hmac_sha256(prk, t + info + bytes([i]))
+        out += t
+        i += 1
+    return out[:length]

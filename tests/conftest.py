@@ -11,12 +11,14 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 
+os.environ.setdefault("CTT_JAX_CACHE", "/tmp/ctt_jax_cache_cpu")
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: crypto kernels are deep graphs; caching
 # across test runs cuts pytest wall-clock dramatically.
-cache_dir = os.environ.get("CTT_JAX_CACHE", "/tmp/ctt_jax_cache")
+cache_dir = os.environ["CTT_JAX_CACHE"]
 try:
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)

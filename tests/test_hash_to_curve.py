@@ -1,0 +1,85 @@
+"""Hash-to-curve RFC 9380 vector tests (expand_message_xmd + full
+hash-to-G1/G2), using the official vector JSONs as shipped in the reference
+checkout (tests/protocol_hash_to_curve/tv_h2c_v8_*.json) — the reference's
+t_hash_to_curve.nim equivalent."""
+
+import json
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from constantine_tpu.models.hash_to_curve import (
+    expand_message_xmd, get_h2c, hash_to_field)
+from constantine_tpu.named.precompute import get_curve
+from constantine_tpu.ops.towers import build_tower
+
+REF = os.environ.get("CONSTANTINE_REF", "/root/reference")
+VEC = os.path.join(REF, "tests", "protocol_hash_to_curve")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(VEC), reason="h2c vectors not available")
+
+
+def load(name):
+    with open(os.path.join(VEC, name)) as f:
+        return json.load(f)
+
+
+def fp2_from_str(s):
+    parts = s.split(",")
+    return [int(x, 16) for x in parts]
+
+
+def test_expand_message_xmd_known():
+    # RFC 9380 K.1 first vector (DST = QUUX-V01-CS02-with-expander-SHA256-128)
+    dst = b"QUUX-V01-CS02-with-expander-SHA256-128"
+    out = expand_message_xmd(b"", dst, 0x20)
+    assert out.hex() == ("68a985b87eb6b46952128911f2a4412bbc302a9d759667f8"
+                         "7f7a21d803f07235")
+    out = expand_message_xmd(b"abc", dst, 0x20)
+    assert out.hex() == ("d8ccab23b5985ccea865c6c97b6e5b8350e794e603b4b979"
+                         "02f53a8a0d605615")
+
+
+def test_hash_to_field_g2_vectors():
+    data = load("tv_h2c_v8_BLS12_381_hash_to_G2_SHA256_SSWU_RO.json")
+    ctx = get_curve("BLS12_381")
+    dst = data["dst"].encode()
+    for vec in data["vectors"][:3]:
+        msg = vec["msg"].encode()
+        us = hash_to_field([msg], dst, count=2, m=2, p=ctx.p)[0]
+        exp = [fp2_from_str(u) for u in vec["u"]]
+        assert us == exp
+
+
+def test_hash_to_g2_vectors():
+    data = load("tv_h2c_v8_BLS12_381_hash_to_G2_SHA256_SSWU_RO.json")
+    ctx = get_curve("BLS12_381")
+    fp2, _, _ = build_tower("BLS12_381")
+    h2c = get_h2c()
+    dst = data["dst"].encode()
+    vecs = data["vectors"][:3]
+    msgs = [v["msg"].encode() for v in vecs]
+    P = h2c.hash_to_g2(msgs, dst)
+    (x, y), inf = ctx.g2.to_affine(P)
+    assert not np.asarray(inf).any()
+    for i, v in enumerate(vecs):
+        assert fp2.decode(x[i]) == fp2_from_str(v["P"]["x"]), v["msg"]
+        assert fp2.decode(y[i]) == fp2_from_str(v["P"]["y"]), v["msg"]
+
+
+def test_hash_to_g1_vectors():
+    data = load("tv_h2c_v8_BLS12_381_hash_to_G1_SHA256_SSWU_RO.json")
+    ctx = get_curve("BLS12_381")
+    h2c = get_h2c()
+    dst = data["dst"].encode()
+    vecs = data["vectors"][:3]
+    msgs = [v["msg"].encode() for v in vecs]
+    P = h2c.hash_to_g1(msgs, dst)
+    (x, y), inf = ctx.g1.to_affine(P)
+    assert not np.asarray(inf).any()
+    for i, v in enumerate(vecs):
+        assert ctx.fp.decode(x[i]) == int(v["P"]["x"], 16), v["msg"]
+        assert ctx.fp.decode(y[i]) == int(v["P"]["y"], 16), v["msg"]

@@ -46,9 +46,7 @@ def main():
     px.block_until_ready()
     log(f"point generation: {time.time()-t0:.1f}s")
 
-    scalars = jnp.asarray(ctx.scalars_to_limbs(
-        [int(v) for v in rng.integers(1, ctx.r, size=n, dtype=np.uint64)]))
-    # full-width random scalars: combine two 64-bit draws across limbs
+    # full-width random scalars: combine four 64-bit draws across limbs
     hi = rng.integers(0, 2**64, size=(n, 3), dtype=np.uint64)
     full = [int(a) | (int(b[0]) << 64) | (int(b[1]) << 128) | (int(b[2]) << 192)
             for a, b in zip(rng.integers(0, 2**64, size=n, dtype=np.uint64), hi)]

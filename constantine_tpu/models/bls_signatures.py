@@ -57,8 +57,12 @@ class BLSSignatures:
 
     def sign(self, secret_keys, msgs):
         """coreSign (bls_signatures.nim:40): sig = [sk] H(m). Batched.
-        Returns compressed G2 signatures bytes (n*96,)."""
+        Returns compressed G2 signatures bytes (n*96,), or None if any
+        secret key is invalid (0 or >= r), mirroring the reference's
+        deserialize_seckey rejection (ethereum_bls_signatures.nim)."""
         ctx = self.ctx
+        if any(sk <= 0 or sk >= ctx.r for sk in secret_keys):
+            return None
         H = self.h2c.hash_to_g2(msgs, DST)
         limbs = jnp.asarray(ctx.scalars_to_limbs(secret_keys))
         S = ctx.g2.scalar_mul(limbs, H, scalar_bits=255)
@@ -72,6 +76,8 @@ class BLSSignatures:
         status-code rejections)."""
         ctx = self.ctx
         n = len(msgs)
+        if n == 0 or len(pubkeys) != 48 * n or len(signatures) != 96 * n:
+            return np.zeros(n, dtype=bool)
         (pkx, pky), pk_inf, pk_ok = self.codec.g1_decompress(pubkeys)
         (sx, sy), s_inf, s_ok = self.codec.g2_decompress(signatures)
         H = self.h2c.hash_to_g2(msgs, DST)
@@ -95,6 +101,8 @@ class BLSSignatures:
     def aggregate_signatures(self, signatures: bytes) -> bytes:
         """Aggregate n G2 signatures into one (sum)."""
         ctx = self.ctx
+        if len(signatures) == 0 or len(signatures) % 96 != 0:
+            return None
         (sx, sy), s_inf, s_ok = self.codec.g2_decompress(signatures)
         if not np.asarray(s_ok).all():
             return None
@@ -108,6 +116,8 @@ class BLSSignatures:
         """n pubkeys, ONE message, one aggregated signature
         (ethereum_bls_signatures.nim fast_aggregate_verify)."""
         ctx = self.ctx
+        if len(pubkeys) == 0:
+            return False
         (px, py), p_inf, p_ok = self.codec.g1_decompress(pubkeys)
         if not np.asarray(p_ok).all() or np.asarray(p_inf).any():
             return False
@@ -124,6 +134,8 @@ class BLSSignatures:
         prod_i e(pk_i, H(m_i)) == e(G1, sig)."""
         ctx = self.ctx
         n = len(msgs)
+        if n == 0 or len(pubkeys) != 48 * n:
+            return False
         (px, py), p_inf, p_ok = self.codec.g1_decompress(pubkeys)
         (sx, sy), s_inf, s_ok = self.codec.g2_decompress(signature)
         if not (np.asarray(p_ok).all() and np.asarray(s_ok).all()):
@@ -146,6 +158,8 @@ class BLSSignatures:
         """
         ctx = self.ctx
         n = len(msgs)
+        if n == 0 or len(pubkeys) != 48 * n or len(signatures) != 96 * n:
+            return False
         (px, py), p_inf, p_ok = self.codec.g1_decompress(pubkeys)
         (sx, sy), s_inf, s_ok = self.codec.g2_decompress(signatures)
         if not (np.asarray(p_ok).all() and np.asarray(s_ok).all()):

@@ -41,7 +41,7 @@ def blob_to_polynomial(blob: bytes):
     """Blob -> (canonical Fr limbs (4096, L), valid). The blob IS the
     evaluation form in brp order (blob_to_bigint_polynomial analogue,
     ethereum_eip4844_kzg.nim:207: each 32-byte chunk must be canonical)."""
-    if len(blob) != BYTES_PER_BLOB:
+    if blob is None or len(blob) != BYTES_PER_BLOB:
         return None, False
     codec = get_codec()
     limbs, valid = codec.scalars_from_bytes(blob)
@@ -50,6 +50,8 @@ def blob_to_polynomial(blob: bytes):
 
 def _fr_bytes_to_mont(data: bytes):
     """32-byte BE scalar -> (Montgomery (L,), valid)."""
+    if data is None or len(data) != BYTES_PER_FIELD_ELEMENT:
+        return None, False
     codec = get_codec()
     limbs, valid = codec.scalars_from_bytes(data)
     if not valid.all():
@@ -144,6 +146,9 @@ def verify_kzg_proof(commitment_bytes: bytes, z_bytes: bytes, y_bytes: bytes,
     """-> bool, or None on malformed input (ethereum_eip4844_kzg.nim:380).
     Pairing check: e(P - [y]G1, G2) == e(proof, [tau]G2 - [z]G2)."""
     kzg = kzg or get_kzg()
+    if (commitment_bytes is None or len(commitment_bytes) != 48
+            or proof_bytes is None or len(proof_bytes) != 48):
+        return None
     from .pairing_check import kzg_pairing_verify  # late import (heavy)
     codec = get_codec()
     (cx, cy), cinf, cok = codec.g1_decompress(commitment_bytes)
@@ -189,11 +194,13 @@ def verify_blob_kzg_proof_batch(blobs, commitments, proofs, kzg: KZG = None,
     from .pairing_check import kzg_pairing_verify_batch
     codec = get_codec()
     polys, zs, ys = [], [], []
+    if any(p is None or len(p) != 48 for p in proofs):
+        return None
     for blob, c in zip(blobs, commitments):
         poly, ok = blob_to_polynomial(blob)
         if not ok:
             return None
-        if len(c) != 48:
+        if c is None or len(c) != 48:
             return None
         z = compute_challenge(blob, c)
         evals_mont = kzg.fr.to_mont(jnp.asarray(poly))

@@ -36,6 +36,8 @@ class CurveParams:
     g2_gx: Optional[Tuple[int, int]] = None       # G2 generator (Fp2 coords)
     g2_gy: Optional[Tuple[int, int]] = None
     g2_cofactor: int = 1
+    fr_generator: Optional[int] = None  # canonical primitive root of Fr*
+    #   (protocol-pinned: BLS12-381 uses 7 per the Ethereum KZG spec)
 
 
 # -- BLS12-381 ---------------------------------------------------------------
@@ -57,6 +59,7 @@ BLS12_381 = CurveParams(
     cofactor=0x396C8C005555E1568C00AAAB0000AAAB,
     family="bls12",
     x_param=-0xD201000000010000,
+    fr_generator=7,
     fp2_nonresidue=-1,
     fp6_nonresidue=(1, 1),       # xi = 1 + u
     twist_kind="M",              # E'/Fp2 : y^2 = x^3 + 4*(1+u)
@@ -89,6 +92,7 @@ BN254_Snarks = CurveParams(
     cofactor=1,
     family="bn",
     x_param=0x44E992B44A6909F1,
+    fr_generator=5,
     fp2_nonresidue=-1,
     fp6_nonresidue=(9, 1),       # xi = 9 + u
     twist_kind="D",              # E'/Fp2 : y^2 = x^3 + 3/(9+u)
@@ -142,6 +146,66 @@ P256 = CurveParams(
     gy=0x4FE342E2FE1A7F9B8EE7EB4A7C0F9E162BCE33576B315ECECBB6406837BF51F5,
     family="plain",
 )
+
+# -- Twisted Edwards curves ---------------------------------------------------
+# Reference declareCurves entries with eq_form: TwistedEdwards
+# (config_fields_and_curves.nim:148-196) and named/constants zoo generators.
+
+
+@dataclass(frozen=True)
+class EdwardsParams:
+    """Twisted Edwards curve a*x^2 + y^2 = 1 + d*x^2*y^2."""
+    name: str
+    p: int
+    r: int                      # prime subgroup order
+    a: int                      # small int (-1, -5)
+    d: int
+    cofactor: int
+    gx: Optional[int] = None    # prime-subgroup generator
+    gy: Optional[int] = None
+
+
+# Bandersnatch (eprint 2021/1152): embedded in the BLS12-381 scalar field.
+# Banderwagon is the prime-order quotient scheme over the same curve
+# (config_fields_and_curves.nim:161-196, banderwagon_generators.nim:20).
+_BANDERSNATCH_D = 0x6389C12633C267CBC66E3BF86BE3B6D8CB66677177E54F92B369F2F5188D58E7
+_BANDERSNATCH_R = 0x1CFB69D4CA675F520CCE760202687600FF8F87007419047174FD06B52876E7E1
+_BANDERSNATCH_GX = 0x29C132CC2C0B34C5743711777BBE42F32B79C022AD998465E1E71866A252AE18
+_BANDERSNATCH_GY = 0x2A6C669EDA123E0F157D8B50BADCD586358CAD81EEE464605E3167B6CC974166
+
+Bandersnatch = EdwardsParams(
+    name="Bandersnatch", p=_BLS12_381_R, r=_BANDERSNATCH_R,
+    a=-5, d=_BANDERSNATCH_D, cofactor=4,
+    gx=_BANDERSNATCH_GX, gy=_BANDERSNATCH_GY)
+
+Banderwagon = EdwardsParams(
+    name="Banderwagon", p=_BLS12_381_R, r=_BANDERSNATCH_R,
+    a=-5, d=_BANDERSNATCH_D, cofactor=4,
+    gx=_BANDERSNATCH_GX, gy=_BANDERSNATCH_GY)
+
+# Jubjub (Zcash Sapling): embedded in the BLS12-381 scalar field
+# (config_fields_and_curves.nim:148-159). Generator: the reference does not
+# pin one; we use the standard find-low-y generator derived in precompute.
+Jubjub = EdwardsParams(
+    name="Jubjub", p=_BLS12_381_R,
+    r=0xE7DB4EA6533AFA906673B0101343B00A6682093CCC81082D0970E5ED6F72CB7,
+    a=-1,
+    d=0x2A9318E74BFA2B48F5FD9207E6BD7FD4292D7F6D37579D2601065FD6D6343EB1,
+    cofactor=8)
+
+# Edwards25519 (RFC 7748/8032)
+Edwards25519 = EdwardsParams(
+    name="Edwards25519", p=(1 << 255) - 19,
+    r=(1 << 252) + 27742317777372353535851937790883648493,
+    a=-1,
+    d=37095705934669439343138083508754565189542113879843219016388785533085940283555,
+    cofactor=8,
+    gx=15112221349535400772501151409588531511454012693041857206046113283949847762202,
+    gy=46316835694926478169428394003475163141307993866256225615783033603165251855960)
+
+EDWARDS_CURVES = {
+    c.name: c for c in (Bandersnatch, Banderwagon, Jubjub, Edwards25519)
+}
 
 # -- Small test fields (analogue of the reference's -d:CTT_TEST_CURVES fakes,
 #    config_fields_and_curves.nim:48-75) --------------------------------------

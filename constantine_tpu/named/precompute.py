@@ -225,21 +225,98 @@ class CurveCtx:
         return s
 
     def root_of_unity(self, log_size: int) -> int:
-        """Primitive 2^log_size-th root of unity in Fr (for NTT domains)."""
+        """Primitive 2^log_size-th root of unity in Fr: g^((r-1)/2^k) with g
+        the curve's pinned primitive root (Ethereum spec:
+        PRIMITIVE_ROOT_OF_UNITY = 7 for BLS12-381)."""
         assert log_size <= self.two_adicity, \
             f"{self.name}: Fr 2-adicity {self.two_adicity} < {log_size}"
-        odd = (self.r - 1) >> self.two_adicity
+        g = self._field_generator
+        return pow(g, (self.r - 1) >> log_size, self.r)
+
+    @functools.cached_property
+    def _field_generator(self) -> int:
+        """Protocol-pinned primitive root of Fr* when the curve params define
+        one (BLS12-381: 7 per the Ethereum KZG spec — the exact root matters:
+        a different QNR gives a domain agreeing on even powers only);
+        otherwise the smallest QNR (full 2-Sylow order)."""
+        g = self.params.fr_generator
+        if g is not None:
+            assert pow(g, (self.r - 1) // 2, self.r) == self.r - 1
+            return g
         for g in range(2, 1000):
-            w = pow(g, odd, self.r)  # order divides 2^adicity
-            # ensure full order 2^adicity
-            if pow(w, 1 << (self.two_adicity - 1), self.r) != 1:
-                return pow(w, 1 << (self.two_adicity - log_size), self.r)
-        raise RuntimeError("no root of unity found")
+            if pow(g, (self.r - 1) // 2, self.r) == self.r - 1:
+                return g
+        raise RuntimeError("no generator found")
+
+
+class EdwardsCtx:
+    """A named twisted Edwards curve with derived constants and groups.
+
+    Analogue of CurveCtx for the reference's eq_form: TwistedEdwards curves
+    (Bandersnatch/Banderwagon/Jubjub/Edwards25519)."""
+
+    def __init__(self, params: curvedefs.EdwardsParams, validate: bool = True):
+        self.params = params
+        self.name = params.name
+        self.p = params.p
+        self.r = params.r
+        self.a = params.a
+        self.d = params.d % params.p
+        self.fp = Field(self.p, f"Fp[{self.name}]")
+        self.fr = Field(self.r, f"Fr[{self.name}]")
+        self.cofactor = params.cofactor
+
+        if params.gx is None:
+            # derive: smallest y with a valid x, cleared of cofactor
+            y = 2
+            while True:
+                y += 1
+                num = (1 - y * y) % self.p
+                den = (self.a - self.d * y * y) % self.p
+                x = rm.sqrt_mod(num * rm.inv_mod(den, self.p) % self.p, self.p)
+                if x is None:
+                    continue
+                cand = rm.ed_mul(params.cofactor, (x, y), self.a, self.d, self.p)
+                if cand != (0, 1):
+                    self.g = cand
+                    break
+        else:
+            self.g = (params.gx, params.gy)
+
+        if validate:
+            assert is_prime(self.p) and is_prime(self.r), self.name
+            assert rm.ed_is_on_curve(self.g, self.a, self.d, self.p), \
+                f"{self.name}: generator off-curve"
+            assert rm.ed_mul(self.r, self.g, self.a, self.d, self.p) == (0, 1), \
+                f"{self.name}: generator order"
+            # d must be non-square for the complete addition law
+            assert pow(self.d, (self.p - 1) // 2, self.p) == self.p - 1, \
+                f"{self.name}: d is a square — addition not complete"
+
+    @functools.cached_property
+    def group(self):
+        from ..ops.ec_edwards import ECTwEdwards
+        d_elem = self.fp.encode([self.d])[0]
+        return ECTwEdwards(self.fp, self.params.a, d_elem, name=self.name)
+
+    @functools.cached_property
+    def gen(self):
+        """Generator as device affine (x, y), batch shape (1,)."""
+        return (self.fp.encode([self.g[0]]), self.fp.encode([self.g[1]]))
+
+    def scalars_to_limbs(self, ks):
+        from ..ops import limbs as lb
+        return lb.ints_to_limbs([k % self.r for k in ks], self.fr.L)
 
 
 @functools.lru_cache(maxsize=None)
 def get_curve(name: str) -> CurveCtx:
     return CurveCtx(curvedefs.CURVES[name])
+
+
+@functools.lru_cache(maxsize=None)
+def get_edwards(name: str) -> EdwardsCtx:
+    return EdwardsCtx(curvedefs.EDWARDS_CURVES[name])
 
 
 @functools.lru_cache(maxsize=None)

@@ -41,7 +41,12 @@ class Field:
     value < p, in the Montgomery domain unless a method says otherwise.
     """
 
-    def __init__(self, p: int, name: str = "Fp", unroll: bool = False):
+    def __init__(self, p: int, name: str = "Fp", unroll: bool = None):
+        if unroll is None:
+            # CTT_FIELD_UNROLL=1: python-unrolled carry chains (bigger traces,
+            # better XLA fusion — worth ~1.4x on TPU hot paths)
+            import os
+            unroll = os.environ.get("CTT_FIELD_UNROLL", "0") == "1"
         self.p_int = int(p)
         self.name = name
         self.bits = self.p_int.bit_length()
@@ -69,6 +74,19 @@ class Field:
         self.batch_inv = jax.jit(self.batch_inv, static_argnames=("chain",))
         self.pow_const = jax.jit(self.pow_const, static_argnums=(1, 2))
         self.mul_small = jax.jit(self.mul_small, static_argnums=(1,))
+
+        # CTT_PALLAS=1 on a TPU backend: route multiplication through the
+        # fused Pallas CIOS kernel (ops/pallas_field.py) — ~2.8x over the
+        # XLA lowering. square/to_mont/... pick it up via self.mul.
+        import os as _os
+        if _os.environ.get("CTT_PALLAS", "0") == "1":
+            try:
+                if jax.default_backend() != "cpu":
+                    from .pallas_field import PallasMontMul
+                    self._pallas = PallasMontMul(self)
+                    self.mul = self._pallas.mul
+            except Exception:
+                pass
 
     # -- host-side conversions ------------------------------------------------
 

@@ -126,7 +126,7 @@ def _sum_all(group, vals, n: int):
 
 
 def msm(group, points_aff, scalars, c: int = None, scalar_bits: int = None,
-        chunk: int = None):
+        chunk: int = None, max_flat: int = 1 << 22):
     """MSM: sum_i scalars[i] * P_i. Returns a Jacobian point (batch ()).
 
     group: ops.ec.ECGroup (G1 over Fp or G2 over Fp2)
@@ -135,6 +135,13 @@ def msm(group, points_aff, scalars, c: int = None, scalar_bits: int = None,
     Public API analogue: multiScalarMul_vartime
     (ec_multi_scalar_mul.nim:525) — here 'vartime' is moot: the schedule is
     input-independent (fully dense), so this is also constant-time.
+
+    All windows are processed TOGETHER: (window, bucket) pairs are flattened
+    into one global key stream so the sort and the flush-scan run at full
+    lane width (the TPU analogue of the reference's window-level
+    parallelism, ec_multi_scalar_mul_parallel.nim:246). `max_flat` bounds
+    the flattened stream (memory); larger inputs process window groups
+    sequentially under lax.scan.
     """
     F = group.F
     px, py = points_aff
@@ -147,24 +154,40 @@ def msm(group, points_aff, scalars, c: int = None, scalar_bits: int = None,
 
     digits = _signed_digits(scalars, c, W)          # (W, N) int32
 
-    # lane layout for the flush-scan
+    # group windows so each flattened stream is <= max_flat entries
+    wg = max(1, min(W, max_flat // max(N, 1)))
+    n_groups = -(-W // wg)
+    wpad = n_groups * wg - W
+    if wpad:
+        digits = jnp.concatenate(
+            [digits, jnp.zeros((wpad, N), digits.dtype)], axis=0)
+    digits = digits.reshape(n_groups, wg, N)
+
+    flat = wg * N
+    # lane layout for the flush-scan: K sequential steps, M = flat/K lanes
     if chunk is None:
-        chunk = int(min(256, max(4, N // 64))) if N >= 256 else max(1, N // 4)
-    K = chunk
-    M = -(-N // K)
-    pad = M * K - N
+        chunk = int(np.clip(flat // (1 << 16), 8, 64))
+    K = min(chunk, flat)
+    M = -(-flat // K)
+    pad = M * K - flat
 
     big = jnp.int32(2**31 - 1)
-    emax = int(min(M + half + 2, (K + 1) * M))
+    nbuckets = wg * (half + 1)
+    emax = int(min(M + wg * (half + 2), (K + 1) * M))
 
-    def one_window(carry, dw):
-        # dw: (N,) signed digits for this window
-        keys = jnp.abs(dw)                          # 0..half
-        neg = dw < 0
-        order = jnp.argsort(keys)
-        sk = keys[order]
-        sx = jnp.take(px, order, axis=0)
-        sy = jnp.take(py, order, axis=0)
+    def one_group(carry, dws):
+        # dws: (wg, N) signed digits for this window group
+        keys = jnp.abs(dws)                          # 0..half
+        zero = keys == 0
+        # global key: w*(half+1) + |d|, zeros sent to key 0 (ignored)
+        widx = jax.lax.broadcasted_iota(jnp.int32, (wg, N), 0)
+        gkeys = jnp.where(zero, 0, widx * (half + 1) + keys).reshape(-1)
+        neg = (dws < 0).reshape(-1)
+        order = jnp.argsort(gkeys)
+        sk = gkeys[order]
+        pidx = order % N                             # original point index
+        sx = jnp.take(px, pidx, axis=0)
+        sy = jnp.take(py, pidx, axis=0)
         sneg = neg[order]
         sy = F.cselect(sneg, F.neg(sy), sy)
         if pad:
@@ -192,18 +215,27 @@ def msm(group, points_aff, scalars, c: int = None, scalar_bits: int = None,
         (acc_f, key_f), (ekeys, evals) = jax.lax.scan(
             flush_step, (inf, jnp.full((M,), -1, jnp.int32)),
             (skc, sxc, syc))
-        # append final lane accumulators as emissions (lane-major flatten so
-        # keys pair with values)
-        ekeys = jnp.concatenate([ekeys.swapaxes(0, 1).reshape(-1), key_f])
-        evals = tuple(
-            jnp.concatenate([_flatten_chunks(e), f], axis=0)
-            for e, f in zip(evals, acc_f))
+        # append final lane accumulators as the (K+1)-th per-lane emission so
+        # the lane-major flatten stays globally key-sorted (lane m's final
+        # run flushes BEFORE lane m+1's entries)
+        ekeys = jnp.concatenate([ekeys, key_f[None]], axis=0)   # (K+1, M)
+        evals = tuple(jnp.concatenate([e, f[None]], axis=0)
+                      for e, f in zip(evals, acc_f))
+        ekeys = ekeys.swapaxes(0, 1).reshape(-1)
+        evals = tuple(_flatten_chunks(e) for e in evals)
 
-        # compact: only <= M + half + 1 real emissions exist
-        sort_keys = jnp.where(ekeys <= 0, big, ekeys)
-        eorder = jnp.argsort(sort_keys)[:emax]
-        ck = sort_keys[eorder]
-        cv = tuple(jnp.take(v, eorder, axis=0) for v in evals)
+        # compact: <= M + wg*(half+1) real emissions exist, and they appear
+        # in key-sorted stream order already — a cumsum compaction scatter
+        # replaces a second large sort.
+        real = ekeys > 0
+        pos = jnp.cumsum(real.astype(jnp.int32)) - 1
+        pos = jnp.where(real, pos, emax)               # trash -> dropped
+        ck = jnp.full((emax,), big, jnp.int32).at[pos].set(
+            jnp.where(real, ekeys, big), mode="drop")
+        cv = tuple(
+            jnp.zeros((emax,) + v.shape[1:], v.dtype).at[pos].set(
+                v, mode="drop")
+            for v in evals)
 
         cv = _segmented_sum(group, ck, cv, emax)
         # last element of each key-run holds the bucket sum
@@ -211,17 +243,23 @@ def msm(group, points_aff, scalars, c: int = None, scalar_bits: int = None,
         valid = last & (ck != big)
         tgt = jnp.where(valid, ck, 0)
 
-        buckets = group.infinity((half + 1,))
+        buckets = group.infinity((nbuckets,))
         buckets = tuple(
             b.at[tgt].set(jnp.where(_expand(valid, v.ndim - 1), v, b[tgt]))
             for b, v in zip(buckets, cv))
-
-        # suffix scan then window sum = sum_{j>=1} suffix[j]
+        # (wg, half+1): move bucket axis first for the suffix scan,
+        # windows ride along as batch
+        buckets = tuple(
+            b.reshape((wg, half + 1) + b.shape[1:]).swapaxes(0, 1)
+            for b in buckets)
         buckets = _suffix_sum(group, buckets, half + 1)
-        wsum = _sum_all(group, tuple(b[1:] for b in buckets), half)
-        return carry, wsum
+        # window sums = sum_{j>=1} suffix[j] per window
+        wsum = _suffix_sum(group, tuple(b[1:] for b in buckets), half)
+        return carry, tuple(w[0] for w in wsum)     # (wg, ...point)
 
-    _, wsums = jax.lax.scan(one_window, 0, digits)  # pytree of (W, ...) leaves
+    _, wsums = jax.lax.scan(one_group, 0, digits)   # leaves (n_groups, wg, .)
+    wsums = tuple(w.reshape((n_groups * wg,) + w.shape[2:])[:W]
+                  for w in wsums)
 
     # combine windows, top first: total = ((top*2^c + w_{t-1})*2^c + ...)
     def combine(total, idx):

@@ -121,6 +121,32 @@ class NTTDomain:
         """Bit-reversal permute along the element axis (axis -2)."""
         return jnp.take(x, self.brp, axis=-2)
 
+    # -- coset (shifted-domain) transforms -----------------------------------
+    # Analogue of the reference's coset FFT/iFFT with shift/unshift
+    # (fft_fields.nim:597-719). Shift power tables are host-precomputed per
+    # shift value and cached.
+
+    @functools.lru_cache(maxsize=8)
+    def _shift_powers(self, shift: int, inverse: bool):
+        p = self.F.p_int
+        s = pow(shift, -1, p) if inverse else shift
+        pows, cur = [], 1
+        for _ in range(self.n):
+            pows.append(cur)
+            cur = cur * s % p
+        return jnp.asarray(self.F.encode(pows))
+
+    def coset_ntt(self, coeffs, shift: int):
+        """Evaluate poly (coeff form) on the coset shift * <omega>:
+        scale coeff_i by shift^i, then NTT."""
+        scaled = self.F.mul(coeffs, self._shift_powers(shift, False))
+        return self._fwd(scaled)
+
+    def coset_intt(self, evals, shift: int):
+        """Inverse: interpolate over the coset, return coeffs."""
+        coeffs = self._inv(evals)
+        return self.F.mul(coeffs, self._shift_powers(shift, True))
+
 
 @functools.lru_cache(maxsize=None)
 def get_domain(curve_name: str, log_n: int) -> NTTDomain:

@@ -1,10 +1,10 @@
-"""Optimal ate pairing for BLS12 curves — batched, TPU-native.
+"""Optimal ate pairings (BLS12 + BN families) — batched, TPU-native.
 
 Re-design of the reference's pairing stack:
 * line evaluation + Miller loop: math/pairings/lines_eval.nim:231-281 (fused
   double/add-and-eval), miller_loops.nim:42-286;
-* final exponentiation: pairings_bls12.nim:100 (hard part),
-  cyclotomic_subgroups.nim:38-377 (easy part, cyclotomic squaring);
+* final exponentiation: pairings_bls12.nim:100 / pairings_bn.nim (hard
+  parts), cyclotomic_subgroups.nim:38-377 (easy part);
 * API: pairings_generic.nim:19-121 (pairing / pairing_check / millerLoop /
   finalExp), multi-pairing via shared loop structure
   (miller_accumulators.nim).
@@ -14,19 +14,19 @@ Design notes (TPU):
   batched double(+line) / add(+line). Lines are scaled by arbitrary Fp2
   factors (killed by the easy part of the final exponentiation), which keeps
   every coefficient polynomial in (X, Y, Z) — no inversions.
-- For the M-twist (w^6 = xi, untwist (x', y') -> (x'/w^2, y'/w^3)) the line
-  through the untwisted points evaluated at P = (xP, yP) is
-      l = xi*yP*s0  +  s3 * w^3  +  s5*xP * w^5        (coeffs in Fp2)
-  doubling:  s0 = 2YZ^2,  s3 = 3X^3 - 2Y^2 Z,  s5 = -3X^2 Z
-  addition:  s0 = lam,    s3 = theta*xQ - lam*yQ,  s5 = -theta
-  with theta = Y - yQ Z, lam = X - xQ Z (derivation in docs/pairing.md).
-- The Miller loop is unrolled over the STATIC bits of |x| as zero-run
-  lax.scan segments + explicit add steps (x has Hamming weight 6 for
-  BLS12-381), so the trace stays small and no work is wasted on 0-bits.
-- Batch axis = pairs; pairing_check multiplies the batched Miller outputs
+- Line sparsity depends on the twist (derivation in docs/pairing.md):
+    M-twist (BLS12-381):  l = xi*yP*sA + sC w^3 + xP*sB w^5
+    D-twist (BN254):      l = yP*sA + xP*sB w   + sC w^3
+  with, for doubling:  sA = 2YZ^2, sB = -3X^2 Z, sC = 3X^3 - 2Y^2 Z
+  and for addition:    sA = lam,   sB = -theta,  sC = theta xQ - lam yQ
+  (theta = Y - yQ Z, lam = X - xQ Z).
+- BLS12 Miller loop is unrolled over the STATIC bits of |x| as zero-run
+  lax.scan segments (x is sparse); BN uses a masked-add scan over the bits
+  of 6u+2 (dense) plus the two Frobenius correction steps.
+- Batch axis = pairs, padded to power-of-two buckets so protocol flows share
+  compiled pipelines; pairing_check multiplies the batched Miller outputs
   (log-depth) and runs ONE final exponentiation.
-- The BLS12 hard-part identity (p^4-p^2+1)/r = (x-1)^2 (x+p) (x^2+p^2-1) + 3
-  is asserted with python ints at build time.
+- Hard-part exponent identities are asserted with python ints at build time.
 """
 
 from __future__ import annotations
@@ -41,35 +41,21 @@ from .towers import build_tower
 from ..utils import refmath as rm
 
 
-class BLSPairing:
-    def __init__(self, curve_name: str = "BLS12_381"):
+class PairingBase:
+    """Shared tower/Frobenius/line machinery for sextic-twist pairings."""
+
+    def __init__(self, curve_name: str):
         from ..named.precompute import get_curve
         self.ctx = get_curve(curve_name)
-        assert self.ctx.params.family == "bls12"
-        assert self.ctx.params.twist_kind == "M"
         self.fp2, self.fp6, self.fp12 = build_tower(curve_name)
         self.fp = self.ctx.fp
-        p, x = self.ctx.p, self.ctx.params.x_param
-        r = self.ctx.r
-        # hard part identity (verified, not trusted). Note the standard
-        # decomposition computes f^(3h) with h = (p^4-p^2+1)/r — the cube of
-        # the reduced pairing. gcd(3, r) = 1 so bilinearity/non-degeneracy
-        # and all product-==-1 checks are unaffected; this matches what
-        # production BLS12-381 implementations (incl. the reference,
-        # pairings_bls12.nim:100) output.
-        assert (3 * ((p**4 - p**2 + 1) // r) ==
-                (x - 1) ** 2 * (x + p) * (x**2 + p**2 - 1) + 3), \
-            "BLS12 final-exp decomposition"
-        self.x_abs = abs(x)
-        self.x_neg = x < 0
-        self.x_bits = [int(b) for b in bin(self.x_abs)[2:]]  # MSB first
+        self.twist = self.ctx.params.twist_kind
+        p = self.ctx.p
 
-        # Frobenius coefficients gamma1[k] = xi^(k*(p-1)/6) in Fp2,
-        # gamma2[k] = xi^(k*(p^2-1)/6); w-degree order of our tower
-        # coefficients is (0, 2, 4, 1, 3, 5).
         nr = self.ctx.params.fp2_nonresidue
         xi = self.ctx.params.fp6_nonresidue
         assert (p - 1) % 6 == 0
+        self._nr, self._xi = nr, xi
 
         def xi_pow(e):
             out = (1, 0)
@@ -80,6 +66,7 @@ class BLSPairing:
                 b = rm.fp2_mul(b, b, nr, p)
                 e >>= 1
             return out
+        self._xi_pow = xi_pow
 
         g1 = [xi_pow(k * (p - 1) // 6) for k in range(6)]
         g2 = [xi_pow(k * (p * p - 1) // 6) for k in range(6)]
@@ -88,8 +75,7 @@ class BLSPairing:
         self.gamma1 = np.stack([self.fp2.encode(list(g1[k])) for k in wdeg])
         self.gamma2 = np.stack([self.fp2.encode(list(g2[k])) for k in wdeg])
         self.gamma3 = np.stack([self.fp2.encode(list(g3[k])) for k in wdeg])
-        for k in wdeg:
-            assert g2[k][1] == 0, "gamma2 should be in Fp"
+        self._g1_raw = g1  # w-degree-indexed host values (for psi maps)
 
         bp = self.ctx.g2_b()
         self.b2_enc = self.fp2.encode([bp[0], bp[1]])  # twist b' constant
@@ -101,12 +87,16 @@ class BLSPairing:
     # tower helpers
     # ------------------------------------------------------------------
 
-    def _line_to_fp12(self, l0, l3, l5):
-        """Sparse line (w^0, w^3, w^5 coeffs in Fp2) -> dense Fp12.
-        Tower coefficient order has w-degrees (0,2,4,1,3,5):
-        w^0 -> slots 0:2, w^3 -> slots 8:10, w^5 -> slots 10:12."""
-        z = jnp.zeros_like(l0)
-        return jnp.concatenate([l0, z, z, z, l3, l5], axis=-2)
+    def _line_to_fp12(self, lA, lB, lC):
+        """Assemble the sparse line into a dense Fp12 element.
+        Coefficient order has w-degrees (0, 2, 4, 1, 3, 5):
+        slots 0:2=w^0, 6:8=w^1, 8:10=w^3, 10:12=w^5.
+        M-twist: (w^0, w^3, w^5) = (lA, lC, lB);
+        D-twist: (w^0, w^1, w^3) = (lA, lB, lC)."""
+        z = jnp.zeros_like(lA)
+        if self.twist == "M":
+            return jnp.concatenate([lA, z, z, z, lC, lB], axis=-2)
+        return jnp.concatenate([lA, z, z, lB, lC, z], axis=-2)
 
     def _scalar_mul_fp2(self, s, v):
         """Multiply Fp2 element v (..., 2, L) by Fp scalar s (..., L)."""
@@ -116,7 +106,7 @@ class BLSPairing:
         """f^(p^power) for power in {1, 2, 3}. Componentwise conj (odd
         powers) + gamma multiplication (endomorphisms/frobenius.nim:39-109
         analogue)."""
-        fp2, fp = self.fp2, self.fp
+        fp2 = self.fp2
         comps = [f[..., 2 * i:2 * i + 2, :] for i in range(6)]
         gs = {1: self.gamma1, 2: self.gamma2, 3: self.gamma3}[power]
         out = []
@@ -137,14 +127,26 @@ class BLSPairing:
     def cyclotomic_inv(self, f):
         return self.conj12(f)
 
+    def cyclotomic_square(self, f):
+        """Plain Fp12 squaring for now; Karabina compressed squaring
+        (cyclotomic_subgroups.nim:218-744) is a planned optimization."""
+        return self.fp12.square(f)
+
     # ------------------------------------------------------------------
-    # Miller loop
+    # fused Miller steps
     # ------------------------------------------------------------------
 
+    def _emit_line(self, sA, sB, sC, xP, yP):
+        if self.twist == "M":
+            lA = self._scalar_mul_fp2(yP, self.fp2.mul_by_xi(sA))
+        else:
+            lA = self._scalar_mul_fp2(yP, sA)
+        lB = self._scalar_mul_fp2(xP, sB)
+        return self._line_to_fp12(lA, lB, sC)
+
     def _dbl_step(self, T, xP, yP):
-        """Projective G2 doubling + tangent line at untwisted T eval'd at P.
-        Returns (T2, line_fp12). Analogue of line_eval_fused_double
-        (lines_eval.nim:231)."""
+        """Projective G2 doubling + tangent line at untwisted T eval'd at P
+        (line_eval_fused_double analogue, lines_eval.nim:231)."""
         fp2 = self.fp2
         X, Y, Z = T
         b2 = jnp.broadcast_to(jnp.asarray(self.b2_enc), X.shape)
@@ -158,20 +160,16 @@ class BLSPairing:
         X3 = fp2.mul(A, fp2.sub(B, F3))
         Y3 = fp2.sub(fp2.square(G), fp2.mul_small(fp2.square(E), 3))
         Z3 = fp2.mul(B, H)
-        # line: s0 = 2YZ^2 = H*Z ; s3 = 3X^3 - 2Y^2 Z ; s5 = -3X^2 Z
         XX = fp2.square(X)
-        s0 = fp2.mul(H, Z)
-        s3 = fp2.sub(fp2.mul(fp2.mul_small(XX, 3), X),
-                     fp2.mul(fp2.add(B, B), Z))
-        s5 = fp2.neg(fp2.mul(fp2.mul_small(XX, 3), Z))
-        l0 = self._scalar_mul_fp2(yP, self.fp2.mul_by_xi(s0))
-        l3 = s3
-        l5 = self._scalar_mul_fp2(xP, s5)
-        return (X3, Y3, Z3), self._line_to_fp12(l0, l3, l5)
+        sA = fp2.mul(H, Z)                         # 2YZ^2
+        sC = fp2.sub(fp2.mul(fp2.mul_small(XX, 3), X),
+                     fp2.mul(fp2.add(B, B), Z))    # 3X^3 - 2Y^2 Z
+        sB = fp2.neg(fp2.mul(fp2.mul_small(XX, 3), Z))  # -3X^2 Z
+        return (X3, Y3, Z3), self._emit_line(sA, sB, sC, xP, yP)
 
     def _add_step(self, T, Q, xP, yP):
-        """Mixed add T + Q (Q affine in Fp2) + chord line eval'd at P.
-        Analogue of line_eval_fused_add (lines_eval.nim:281)."""
+        """Mixed add T + Q (Q affine in Fp2) + chord line eval'd at P
+        (line_eval_fused_add analogue, lines_eval.nim:281)."""
         fp2 = self.fp2
         X, Y, Z = T
         xQ, yQ = Q
@@ -186,112 +184,13 @@ class BLSPairing:
         Y3 = fp2.sub(fp2.mul(theta, fp2.sub(fp2.mul(l2, X), H)),
                      fp2.mul(Y, l3c))
         Z3 = fp2.mul(l3c, Z)
-        s0 = lam
-        s3 = fp2.sub(fp2.mul(theta, xQ), fp2.mul(lam, yQ))
-        s5 = fp2.neg(theta)
-        l0 = self._scalar_mul_fp2(yP, self.fp2.mul_by_xi(s0))
-        l5 = self._scalar_mul_fp2(xP, s5)
-        return (X3, Y3, Z3), self._line_to_fp12(l0, s3, l5)
-
-    def miller_loop(self, p_aff, q_aff):
-        """Batched Miller loop f_{|x|, Q}(P). p_aff = (xP, yP) (B, L) arrays
-        (Montgomery); q_aff = (xQ, yQ) (B, 2, L). Returns (B, 12, L).
-        For x < 0 the result is conjugated (standard BLS12 negative-x fix).
-        """
-        fp12 = self.fp12
-        xP, yP = p_aff
-        xQ, yQ = q_aff
-        batch = xP.shape[:-1]
-        one2 = self.fp2.broadcast_one(batch)
-        T = (xQ, yQ, one2)
-        f = fp12.broadcast_one(batch)
-
-        bits = self.x_bits
-        # segments of zero-runs between ones (bits[0] == 1 consumed by init)
-        i = 1
-        first = True
-        while i <= len(bits) - 1 or first:
-            # count run of steps until next 1-bit (inclusive scan structure:
-            # every bit costs a dbl; 1-bits add an add-step)
-            if i > len(bits) - 1:
-                break
-            run = 0
-            while i + run <= len(bits) - 1 and bits[i + run] == 0:
-                run += 1
-            # `run` doubling-only steps via fori_loop (single traced body)
-            if run > 0:
-                def dbl_only(_, state):
-                    f_, T_ = state
-                    f_ = fp12.square(f_)
-                    T_, l = self._dbl_step(T_, xP, yP)
-                    return (fp12.mul(f_, l), T_)
-                f, T = jax.lax.fori_loop(0, run, dbl_only, (f, T))
-                i += run
-            if i <= len(bits) - 1:  # 1-bit: dbl + add
-                f = fp12.square(f)
-                T, l = self._dbl_step(T, xP, yP)
-                f = fp12.mul(f, l)
-                T, l = self._add_step(T, (xQ, yQ), xP, yP)
-                f = fp12.mul(f, l)
-                i += 1
-            first = False
-        if self.x_neg:
-            f = self.conj12(f)
-        return f
+        sA = lam
+        sC = fp2.sub(fp2.mul(theta, xQ), fp2.mul(lam, yQ))
+        sB = fp2.neg(theta)
+        return (X3, Y3, Z3), self._emit_line(sA, sB, sC, xP, yP)
 
     # ------------------------------------------------------------------
-    # final exponentiation
-    # ------------------------------------------------------------------
-
-    def cyclotomic_square(self, f):
-        """Plain Fp12 squaring for now; Karabina compressed squaring
-        (cyclotomic_subgroups.nim:218-744) is a planned optimization."""
-        return self.fp12.square(f)
-
-    def _pow_x_cyclo(self, f):
-        """f^x in the cyclotomic subgroup (x the curve parameter, negative
-        for BLS12-381: conjugate at the end)."""
-        fp12 = self.fp12
-        bits = np.asarray(self.x_bits[1:], dtype=np.int32)
-
-        def body(acc, bit):
-            acc = self.cyclotomic_square(acc)
-            acc_mul = fp12.mul(acc, f)
-            acc = fp12.cselect((bit == 1) & jnp.ones(acc.shape[:-2], bool),
-                               acc_mul, acc)
-            return acc, None
-
-        acc, _ = jax.lax.scan(body, f, jnp.asarray(bits))
-        if self.x_neg:
-            acc = self.conj12(acc)
-        return acc
-
-    def _pow_x_minus_1_cyclo(self, f):
-        """f^(x-1) = f^x * f^-1 (cyclotomic inverse = conj)."""
-        return self.fp12.mul(self._pow_x_cyclo(f), self.conj12(f))
-
-    def final_exp(self, f):
-        """f^((p^12-1)/r) (pairings_bls12.nim:100 analogue).
-
-        easy part: f^(p^6-1) then ^(p^2+1);
-        hard part via (x-1)^2 (x+p) (x^2+p^2-1) + 3."""
-        fp12 = self.fp12
-        # easy
-        finv = fp12.inv(f)
-        f = fp12.mul(self.conj12(f), finv)        # f^(p^6-1)
-        f = fp12.mul(self.frobenius(f, 2), f)     # ^(p^2+1)
-        # hard
-        t1 = self._pow_x_minus_1_cyclo(f)
-        t1 = self._pow_x_minus_1_cyclo(t1)        # f^((x-1)^2)
-        t2 = fp12.mul(self._pow_x_cyclo(t1), self.frobenius(t1, 1))  # ^(x+p)
-        t3 = fp12.mul(
-            fp12.mul(self._pow_x_cyclo(self._pow_x_cyclo(t2)),
-                     self.frobenius(t2, 2)),
-            self.conj12(t2))                      # ^(x^2 + p^2 - 1)
-        return fp12.mul(t3, fp12.mul(fp12.square(f), f))  # * f^3
-
-    # ------------------------------------------------------------------
-    # public API
+    # shared public API
     # ------------------------------------------------------------------
 
     def _pad_pairs(self, p_aff, q_aff, skip_mask):
@@ -325,9 +224,8 @@ class BLSPairing:
 
     def multi_pairing(self, p_aff, q_aff, skip_mask=None):
         """prod_i e(P_i, Q_i): batched Miller, log-tree product, ONE final
-        exp (the multi-pairing of pairings_bls12.nim:155-180).
-        skip_mask: (B,) True entries contribute the identity (for points at
-        infinity, matching the reference's infinity-skip)."""
+        exp (pairings_bls12.nim:155-180 multi-pairing analogue).
+        skip_mask: (B,) True entries contribute the identity."""
         fp12 = self.fp12
         p_aff, q_aff, skip_mask, _ = self._pad_pairs(p_aff, q_aff, skip_mask)
         fs = self.miller_loop(p_aff, q_aff)        # (B, 12, L)
@@ -345,7 +243,193 @@ class BLSPairing:
         gt = self.multi_pairing(p_aff, q_aff, skip_mask)
         return self.fp12.eq(gt, self.fp12.broadcast_one(()))
 
+    # -- final exp easy part (shared) ----------------------------------
+
+    def _final_exp_easy(self, f):
+        fp12 = self.fp12
+        finv = fp12.inv(f)
+        f = fp12.mul(self.conj12(f), finv)        # f^(p^6-1)
+        return fp12.mul(self.frobenius(f, 2), f)  # ^(p^2+1)
+
+    def _pow_u_cyclo(self, f, u_abs: int, u_neg: bool):
+        """f^u in the cyclotomic subgroup (conj at the end if u < 0)."""
+        fp12 = self.fp12
+        bits = np.asarray([int(b) for b in bin(u_abs)[3:]], dtype=np.int32)
+
+        def body(acc, bit):
+            acc = self.cyclotomic_square(acc)
+            acc_mul = fp12.mul(acc, f)
+            acc = fp12.cselect((bit == 1) & jnp.ones(acc.shape[:-2], bool),
+                               acc_mul, acc)
+            return acc, None
+
+        acc, _ = jax.lax.scan(body, f, jnp.asarray(bits))
+        if u_neg:
+            acc = self.conj12(acc)
+        return acc
+
+
+class BLSPairing(PairingBase):
+    """BLS12 family: Miller loop over |x|, fast hard part."""
+
+    def __init__(self, curve_name: str = "BLS12_381"):
+        from ..named.precompute import get_curve
+        ctx = get_curve(curve_name)
+        assert ctx.params.family == "bls12"
+        p, x, r = ctx.p, ctx.params.x_param, ctx.r
+        # Hard part identity (verified, not trusted). The standard
+        # decomposition computes f^(3h) with h = (p^4-p^2+1)/r — the cube of
+        # the reduced pairing; gcd(3, r) = 1 so all checks are unaffected
+        # (same choice as the reference, pairings_bls12.nim:100).
+        assert (3 * ((p**4 - p**2 + 1) // r) ==
+                (x - 1) ** 2 * (x + p) * (x**2 + p**2 - 1) + 3), \
+            "BLS12 final-exp decomposition"
+        self.x_abs = abs(x)
+        self.x_neg = x < 0
+        self.x_bits = [int(b) for b in bin(self.x_abs)[2:]]  # MSB first
+        super().__init__(curve_name)
+
+    def miller_loop(self, p_aff, q_aff):
+        """Batched Miller loop f_{|x|, Q}(P); conjugated for x < 0."""
+        fp12 = self.fp12
+        xP, yP = p_aff
+        xQ, yQ = q_aff
+        batch = xP.shape[:-1]
+        T = (xQ, yQ, self.fp2.broadcast_one(batch))
+        f = fp12.broadcast_one(batch)
+
+        bits = self.x_bits
+        i = 1
+        while i <= len(bits) - 1:
+            run = 0
+            while i + run <= len(bits) - 1 and bits[i + run] == 0:
+                run += 1
+            if run > 0:  # zero-run: doubling-only steps, single traced body
+                def dbl_only(_, state):
+                    f_, T_ = state
+                    f_ = fp12.square(f_)
+                    T_, l = self._dbl_step(T_, xP, yP)
+                    return (fp12.mul(f_, l), T_)
+                f, T = jax.lax.fori_loop(0, run, dbl_only, (f, T))
+                i += run
+            if i <= len(bits) - 1:  # 1-bit: dbl + add
+                f = fp12.square(f)
+                T, l = self._dbl_step(T, xP, yP)
+                f = fp12.mul(f, l)
+                T, l = self._add_step(T, (xQ, yQ), xP, yP)
+                f = fp12.mul(f, l)
+                i += 1
+        if self.x_neg:
+            f = self.conj12(f)
+        return f
+
+    def _pow_x_cyclo(self, f):
+        return self._pow_u_cyclo(f, self.x_abs, self.x_neg)
+
+    def _pow_x_minus_1_cyclo(self, f):
+        return self.fp12.mul(self._pow_x_cyclo(f), self.conj12(f))
+
+    def final_exp(self, f):
+        """f^((p^12-1)/r · 3) via (x-1)^2 (x+p) (x^2+p^2-1) + 3."""
+        fp12 = self.fp12
+        f = self._final_exp_easy(f)
+        t1 = self._pow_x_minus_1_cyclo(f)
+        t1 = self._pow_x_minus_1_cyclo(t1)        # f^((x-1)^2)
+        t2 = fp12.mul(self._pow_x_cyclo(t1), self.frobenius(t1, 1))  # ^(x+p)
+        t3 = fp12.mul(
+            fp12.mul(self._pow_x_cyclo(self._pow_x_cyclo(t2)),
+                     self.frobenius(t2, 2)),
+            self.conj12(t2))                      # ^(x^2 + p^2 - 1)
+        return fp12.mul(t3, fp12.mul(fp12.square(f), f))  # * f^3
+
+
+class BNPairing(PairingBase):
+    """BN family (BN254): Miller loop over 6u+2 + Frobenius line steps,
+    generic (exponent-verified) hard part (pairings_bn.nim analogue)."""
+
+    def __init__(self, curve_name: str = "BN254_Snarks"):
+        from ..named.precompute import get_curve
+        ctx = get_curve(curve_name)
+        assert ctx.params.family == "bn"
+        u = ctx.params.x_param
+        self.loop = 6 * u + 2
+        assert self.loop > 0, "negative 6u+2 not wired"
+        self.loop_bits = np.asarray(
+            [int(b) for b in bin(self.loop)[3:]], dtype=np.int32)
+        p, r = ctx.p, ctx.r
+        assert (p**4 - p**2 + 1) % r == 0
+        self.hard_exp = (p**4 - p**2 + 1) // r
+        super().__init__(curve_name)
+        # Frobenius-on-twist constants (D-twist): pi(x', y') =
+        # (conj(x') xi^((p-1)/3), conj(y') xi^((p-1)/2))
+        p1 = self._xi_pow((p - 1) // 3)
+        p2 = self._xi_pow((p - 1) // 2)
+        self.pi_x = self.fp2.encode(list(p1))
+        self.pi_y = self.fp2.encode(list(p2))
+        # pi^2 constants (no conj): xi^((p^2-1)/3), xi^((p^2-1)/2)
+        q1 = self._xi_pow((p * p - 1) // 3)
+        q2 = self._xi_pow((p * p - 1) // 2)
+        self.pi2_x = self.fp2.encode(list(q1))
+        self.pi2_y = self.fp2.encode(list(q2))
+
+    def _pi(self, Q):
+        """Frobenius endomorphism on affine twist points."""
+        fp2 = self.fp2
+        xQ, yQ = Q
+        px = jnp.broadcast_to(jnp.asarray(self.pi_x), xQ.shape)
+        py = jnp.broadcast_to(jnp.asarray(self.pi_y), yQ.shape)
+        return (fp2.mul(fp2.conj(xQ), px), fp2.mul(fp2.conj(yQ), py))
+
+    def _pi2(self, Q):
+        fp2 = self.fp2
+        xQ, yQ = Q
+        px = jnp.broadcast_to(jnp.asarray(self.pi2_x), xQ.shape)
+        py = jnp.broadcast_to(jnp.asarray(self.pi2_y), yQ.shape)
+        return (fp2.mul(xQ, px), fp2.mul(yQ, py))
+
+    def miller_loop(self, p_aff, q_aff):
+        """f_{6u+2, Q}(P) · l_{[6u+2]Q, pi(Q)}(P) · l_{..., -pi^2(Q)}(P)."""
+        fp12 = self.fp12
+        fp2 = self.fp2
+        xP, yP = p_aff
+        xQ, yQ = q_aff
+        batch = xP.shape[:-1]
+        T = (xQ, yQ, fp2.broadcast_one(batch))
+        f = fp12.broadcast_one(batch)
+
+        def body(state, bit):
+            f_, T_ = state
+            f_ = fp12.square(f_)
+            T_, l = self._dbl_step(T_, xP, yP)
+            f_ = fp12.mul(f_, l)
+            T_add, l_add = self._add_step(T_, (xQ, yQ), xP, yP)
+            f_add = fp12.mul(f_, l_add)
+            take = (bit == 1) & jnp.ones(batch, bool)
+            f_ = fp12.cselect(take, f_add, f_)
+            T_ = tuple(fp2.cselect(take, a, b) for a, b in zip(T_add, T_))
+            return (f_, T_), None
+
+        (f, T), _ = jax.lax.scan(body, (f, T), jnp.asarray(self.loop_bits))
+
+        # Frobenius correction steps (miller_loops.nim BN :92 analogue)
+        Q1 = self._pi((xQ, yQ))
+        Q2 = self._pi2((xQ, yQ))
+        nQ2 = (Q2[0], fp2.neg(Q2[1]))
+        T, l = self._add_step(T, Q1, xP, yP)
+        f = fp12.mul(f, l)
+        T, l = self._add_step(T, nQ2, xP, yP)
+        f = fp12.mul(f, l)
+        return f
+
+    def final_exp(self, f):
+        """Easy part + generic square-and-multiply hard part (exponent
+        verified at build; fast BN decomposition is a later optimization)."""
+        f = self._final_exp_easy(f)
+        return self.fp12.pow_const(f, self.hard_exp)
+
 
 @functools.lru_cache(maxsize=None)
-def get_pairing(curve_name: str = "BLS12_381") -> BLSPairing:
-    return BLSPairing(curve_name)
+def get_pairing(curve_name: str = "BLS12_381"):
+    from ..named.precompute import get_curve
+    fam = get_curve(curve_name).params.family
+    return BLSPairing(curve_name) if fam == "bls12" else BNPairing(curve_name)

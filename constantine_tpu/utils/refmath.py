@@ -147,3 +147,32 @@ def ec2_mul(k: int, P, a2, nr: int, p: int):
         Q = ec2_add(Q, Q, a2, nr, p)
         k >>= 1
     return R
+
+
+# -- twisted Edwards host reference (a*x^2 + y^2 = 1 + d*x^2*y^2) -----------
+# Affine points as (x, y); neutral = (0, 1). Used for registry validation
+# and golden tests (reference ec_twistededwards_affine.nim law).
+
+
+def ed_add(P, Q, a: int, d: int, p: int):
+    x1, y1 = P
+    x2, y2 = Q
+    dxy = d * x1 * x2 * y1 * y2 % p
+    x3 = (x1 * y2 + y1 * x2) * inv_mod((1 + dxy) % p, p) % p
+    y3 = (y1 * y2 - a * x1 * x2) * inv_mod((1 - dxy) % p, p) % p
+    return (x3, y3)
+
+
+def ed_mul(k: int, P, a: int, d: int, p: int):
+    acc = (0, 1)
+    while k:
+        if k & 1:
+            acc = ed_add(acc, P, a, d, p)
+        P = ed_add(P, P, a, d, p)
+        k >>= 1
+    return acc
+
+
+def ed_is_on_curve(P, a: int, d: int, p: int) -> bool:
+    x, y = P
+    return (a * x * x + y * y) % p == (1 + d * x * x * y * y) % p

@@ -106,6 +106,59 @@ BN254_Snarks = CurveParams(
     ),
 )
 
+# -- BLS12-377 (Zexe / EIP-2539) ----------------------------------------------
+# Reference: config_fields_and_curves.nim:246-267. x = 0x8508C00000000001.
+# Generators are not pinned by the reference config; precompute derives
+# smallest-x points with cofactor clearing.
+
+BLS12_377 = CurveParams(
+    name="BLS12_377",
+    p=0x01AE3A4617C510EAC63B05C06CA1493B1A22D9F300F5138F1EF3622FBA094800170B5D44300000008508C00000000001,
+    r=0x12AB655E9A2CA55660B44D1E5C37B00159AA76FED00000010A11800000000001,
+    a=0,
+    b=1,
+    family="bls12",
+    x_param=0x8508C00000000001,
+    fp2_nonresidue=-5,
+    fp6_nonresidue=(0, 1),       # xi = u (u^2 = -5)
+    twist_kind="D",              # E'/Fp2 : y^2 = x^3 + 1/u
+)
+
+# -- BN254-Nogami (Integer Variable chi-Based Ate Pairing, 2008) --------------
+# Reference: config_fields_and_curves.nim:97-114. u = -(2^62 + 2^55 + 1).
+
+BN254_Nogami = CurveParams(
+    name="BN254_Nogami",
+    p=0x2523648240000001BA344D80000000086121000000000013A700000000000013,
+    r=0x2523648240000001BA344D8000000007FF9F800000000010A10000000000000D,
+    a=0,
+    b=2,
+    cofactor=1,
+    family="bn",
+    x_param=-(2**62 + 2**55 + 1),
+    fp2_nonresidue=-1,
+    fp6_nonresidue=(1, 1),       # xi = 1 + u
+    twist_kind="D",
+)
+
+# -- BW6-761 (embeds BLS12-377; one-layer Fp6 tower, G1 and G2 both /Fp) ------
+# Reference: config_fields_and_curves.nim:289-311. Fields + EC group level;
+# the degree-6 pairing (pairings_bw6_761.nim) is future work — G2 lives on
+# the sextic twist over Fp itself (y^2 = x^3 + 4).
+
+BW6_761 = CurveParams(
+    name="BW6_761",
+    p=0x122E824FB83CE0AD187C94004FAFF3EB926186A81D14688528275EF8087BE41707BA638E584E91903CEBAFF25B423048689C8ED12F9FD9071DCD3DC73EBFF2E98A116C25667A8F8160CF8AEEAF0A437E6913E6870000082F49D00000000008B,
+    r=0x01AE3A4617C510EAC63B05C06CA1493B1A22D9F300F5138F1EF3622FBA094800170B5D44300000008508C00000000001,
+    a=0,
+    b=-1,
+    # effective G1 cofactor (bw6_761_subgroups.nim:27): multiplying by it
+    # lands in the r-subgroup, which is all generator derivation needs
+    cofactor=0xAD1972339049CE762C77D5AC34CB12EFC856A0853C9DB94CC61C554757551C0C832BA4061000003B3DE580000000007C,
+    family="plain",              # BW6 pairing machinery not yet built
+    x_param=0x8508C00000000001,
+)
+
 # -- Pasta curves (Pallas / Vesta) --------------------------------------------
 # Reference: config_fields_and_curves.nim Pallas/Vesta entries.
 
@@ -223,5 +276,6 @@ TEST_FIELDS = {
 }
 
 CURVES = {
-    c.name: c for c in (BLS12_381, BN254_Snarks, Pallas, Vesta, Secp256k1, P256)
+    c.name: c for c in (BLS12_381, BLS12_377, BN254_Snarks, BN254_Nogami,
+                        BW6_761, Pallas, Vesta, Secp256k1, P256)
 }

@@ -60,21 +60,6 @@ class CurveCtx:
         self.fp = Field(self.p, f"Fp[{self.name}]")
         self.fr = Field(self.r, f"Fr[{self.name}]")
 
-        # generator (derive deterministically when unspecified: smallest x
-        # with a curve point, even y)
-        if params.gx is None:
-            x = 0
-            while True:
-                x += 1
-                rhs = (x * x * x + self.a * x + self.b) % self.p
-                y = rm.sqrt_mod(rhs, self.p)
-                if y is not None:
-                    break
-            y = min(y, self.p - y)
-            self.g = (x, y)
-        else:
-            self.g = (params.gx, params.gy)
-
         # family identities / derived cofactors
         self.x_param = params.x_param
         self.h1 = params.cofactor
@@ -98,6 +83,48 @@ class CurveCtx:
             self.h2 = self.p + t - 1  # #E'(Fp2) = r * (p + t - 1) for BN
             self.trace = t
 
+        # generator: pinned, or derived deterministically (smallest x with a
+        # curve point, even-ish y, cofactor-cleared into the r-subgroup —
+        # the reference pins all generators in named/constants/*_generators;
+        # derivation is our fallback for curves whose zoo has none)
+        if params.gx is None:
+            x = 0
+            while True:
+                x += 1
+                rhs = (x * x * x + self.a * x + self.b) % self.p
+                y = rm.sqrt_mod(rhs, self.p)
+                if y is None:
+                    continue
+                y = min(y, self.p - y)
+                g = rm.ec_mul(self.h1, (x, y), self.a, self.p) \
+                    if self.h1 != 1 else (x, y)
+                if g is not None:
+                    self.g = g
+                    break
+        else:
+            self.g = (params.gx, params.gy)
+
+        # G2 generator over the twist (derived when not pinned)
+        if params.g2_gx is not None:
+            self.g2_aff = (params.g2_gx, params.g2_gy)
+        elif params.fp2_nonresidue is not None and self.h2 != 1:
+            p, nr = self.p, params.fp2_nonresidue
+            bp = self.g2_b()
+            k = 0
+            while True:
+                k += 1
+                x2 = (k, 1)
+                x3 = rm.fp2_mul(x2, rm.fp2_mul(x2, x2, nr, p), nr, p)
+                y2 = self._fp2_sqrt(rm.fp2_add(x3, bp, p))
+                if y2 is None:
+                    continue
+                g2 = rm.ec2_mul(self.h2, (x2, y2), (0, 0), nr, p)
+                if g2 is not None:
+                    self.g2_aff = g2
+                    break
+        else:
+            self.g2_aff = None
+
         if validate:
             self._validate()
 
@@ -109,9 +136,9 @@ class CurveCtx:
         assert is_prime(r), f"{self.name}: r not prime"
         assert rm.ec_is_on_curve(self.g, a, b, p), f"{self.name}: bad generator"
         assert rm.ec_mul(r, self.g, a, p) is None, f"{self.name}: generator order"
-        if self.params.g2_gx is not None:
+        if self.g2_aff is not None:
             nr = self.params.fp2_nonresidue
-            g2 = (self.params.g2_gx, self.params.g2_gy)
+            g2 = self.g2_aff
             bp = self.g2_b()
             # on-curve check over Fp2
             lhs = rm.fp2_mul(g2[1], g2[1], nr, p)
@@ -204,10 +231,10 @@ class CurveCtx:
     @functools.cached_property
     def g2_gen(self):
         from ..ops.towers import build_tower
-        import numpy as np
         fp2, _, _ = build_tower(self.name)
-        gx = fp2.encode([self.params.g2_gx[0], self.params.g2_gx[1]])[None]
-        gy = fp2.encode([self.params.g2_gy[0], self.params.g2_gy[1]])[None]
+        (gx2, gy2) = self.g2_aff
+        gx = fp2.encode([gx2[0], gx2[1]])[None]
+        gy = fp2.encode([gy2[0], gy2[1]])[None]
         return (gx, gy)
 
     def scalars_to_limbs(self, ks):

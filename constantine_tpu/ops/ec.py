@@ -90,6 +90,11 @@ class ECGroup:
         X, Y, Z = P
         return (X, self.F.cselect(cond, self.F.neg(Y), Y), Z)
 
+    def aff_cneg(self, cond, xy):
+        """Conditional affine negation (for MSM signed digits)."""
+        x, y = xy
+        return (x, self.F.cselect(cond, self.F.neg(y), y))
+
     def select(self, cond, P, Q):
         """cond ? P : Q, lane-wise."""
         F = self.F

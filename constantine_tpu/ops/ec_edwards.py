@@ -87,6 +87,11 @@ class ECTwEdwards:
         X, Y, Z = P
         return (self.F.cselect(cond, self.F.neg(X), X), Y, Z)
 
+    def aff_cneg(self, cond, xy):
+        """Conditional affine negation: -(x, y) = (-x, y)."""
+        x, y = xy
+        return (self.F.cselect(cond, self.F.neg(x), x), y)
+
     def select(self, cond, P, Q):
         F = self.F
         return tuple(F.cselect(cond, p, q) for p, q in zip(P, Q))

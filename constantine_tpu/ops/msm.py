@@ -74,19 +74,26 @@ def _signed_digits(scalars, c: int, n_windows: int):
     return jnp.stack(digits, axis=0)
 
 
-def _masked_roll_down(v, s):
-    """v[i] -> v[i - s] with zero fill below (s traced)."""
-    rolled = jnp.roll(v, s, axis=0)
-    idx = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
-    return jnp.where(idx < s, jnp.zeros_like(v), rolled)
-
-
-def _masked_roll_up(v, s):
-    """v[j] -> v[j + s] with zero fill past the end (s traced)."""
-    n = v.shape[0]
-    rolled = jnp.roll(v, -s, axis=0)
-    idx = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
-    return jnp.where(idx >= n - s, jnp.zeros_like(v), rolled)
+def _masked_roll(group, vals, s, up: bool):
+    """vals (point tuple) rolled by s lanes along axis 0; vacated lanes get
+    the group NEUTRAL element (s traced). Zero-fill would be wrong for
+    groups whose neutral is not all-zero limbs: twisted Edwards neutral is
+    (0,1,1) and its complete law has no infinity masking, so an all-zero
+    point would absorb every sum. For Weierstrass-Jacobian any Z=0 point is
+    infinity, making this equivalent to a zero fill there."""
+    n = vals[0].shape[0]
+    # batch shape for infinity: every leaf leads with the lane axis plus any
+    # extra batch axes shared across leaves (leaf shapes already agree)
+    extra = vals[0].shape[1:-1] if not hasattr(group.F, "deg") \
+        else vals[0].shape[1:-2]
+    neutral = group.infinity((n,) + extra)
+    out = []
+    for v, nv in zip(vals, neutral):
+        rolled = jnp.roll(v, -s if up else s, axis=0)
+        idx = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+        mask = (idx >= n - s) if up else (idx < s)
+        out.append(jnp.where(mask, nv, rolled))
+    return tuple(out)
 
 
 def _log_rounds(n: int):
@@ -102,7 +109,7 @@ def _segmented_sum(group, keys, vals, n: int):
         same = keys == jnp.roll(keys, s, axis=0)
         idx = jax.lax.broadcasted_iota(jnp.int32, keys.shape, 0)
         same = same & (idx >= s)
-        shifted = tuple(_masked_roll_down(v, s) for v in vv)
+        shifted = _masked_roll(group, vv, s, up=False)
         summed = group.add(vv, shifted)
         return group.select(same, summed, vv), None
 
@@ -113,7 +120,7 @@ def _segmented_sum(group, keys, vals, n: int):
 def _suffix_sum(group, vals, n: int):
     """vals[j] <- sum_{b >= j} vals[b], log-depth."""
     def rnd(state, s):
-        shifted = tuple(_masked_roll_up(v, s) for v in state)
+        shifted = _masked_roll(group, state, s, up=True)
         return group.add(state, shifted), None
     vals, _ = jax.lax.scan(rnd, vals, _log_rounds(n))
     return vals
@@ -144,7 +151,8 @@ def msm(group, points_aff, scalars, c: int = None, scalar_bits: int = None,
     sequentially under lax.scan.
     """
     F = group.F
-    px, py = points_aff
+    pts = tuple(points_aff) if isinstance(points_aff, (tuple, list)) \
+        else (points_aff,)
     N = scalars.shape[0]
     bits = scalar_bits or scalars.shape[1] * 16
     if c is None:
@@ -186,35 +194,34 @@ def msm(group, points_aff, scalars, c: int = None, scalar_bits: int = None,
         order = jnp.argsort(gkeys)
         sk = gkeys[order]
         pidx = order % N                             # original point index
-        sx = jnp.take(px, pidx, axis=0)
-        sy = jnp.take(py, pidx, axis=0)
+        spts = tuple(jnp.take(t, pidx, axis=0) for t in pts)
         sneg = neg[order]
-        sy = F.cselect(sneg, F.neg(sy), sy)
+        spts = group.aff_cneg(sneg, spts)
         if pad:
             sk = jnp.concatenate([sk, jnp.zeros((pad,), sk.dtype)])
-            sx = jnp.concatenate([sx, F.broadcast_zero((pad,))], axis=0)
-            sy = jnp.concatenate([sy, F.broadcast_zero((pad,))], axis=0)
+            spts = tuple(
+                jnp.concatenate([t, F.broadcast_zero((pad,))], axis=0)
+                for t in spts)
         # lane-major chunks: lane m sweeps sorted[m*K:(m+1)*K]
         skc = sk.reshape(M, K).swapaxes(0, 1)       # (K, M)
-        sxc = _to_chunks(sx, M, K)
-        syc = _to_chunks(sy, M, K)
+        cpts = tuple(_to_chunks(t, M, K) for t in spts)
 
         inf = group.infinity((M,))
 
         def flush_step(state, inp):
             acc, cur_key = state
-            k, x, y = inp
+            k, coords = inp[0], inp[1:]
             same = k == cur_key
             emit_key = jnp.where(same, -1, cur_key)
             emit = acc
-            fresh = group.from_affine((x, y))
-            grown = group.madd(acc, (x, y))
+            fresh = group.from_affine(coords)
+            grown = group.madd(acc, coords)
             acc_new = group.select(same, grown, fresh)
             return (acc_new, k), (emit_key, emit)
 
         (acc_f, key_f), (ekeys, evals) = jax.lax.scan(
             flush_step, (inf, jnp.full((M,), -1, jnp.int32)),
-            (skc, sxc, syc))
+            (skc,) + cpts)
         # append final lane accumulators as the (K+1)-th per-lane emission so
         # the lane-major flatten stays globally key-sorted (lane m's final
         # run flushes BEFORE lane m+1's entries)

@@ -76,15 +76,21 @@ class SqrtCtx:
         bshape = tt.shape[:-1] if getattr(F, "deg", 1) == 1 else tt.shape[:-2]
         c = jnp.broadcast_to(jnp.asarray(self.c_enc), tt.shape)
         one = F.broadcast_one(bshape)
-        for i in range(s, 1, -1):
-            bb = b
-            for _ in range(i - 2):
-                bb = F.square(bb)
+        # Outer descent as lax.fori_loop (trace stays O(1) in s; the
+        # unrolled version compiled for minutes at s=32 on BLS12-381 Fr).
+        # Runtime cost is the same O(s^2/2) sequential squarings.
+        def outer(j, carry):
+            z, tt, b, c = carry
+            i = s - j
+            bb = jax.lax.fori_loop(0, i - 2, lambda _, v: F.square(v), b)
             flag = ~F.eq(bb, one)
             z = F.cselect(flag, F.mul(z, c), z)
             c = F.square(c)
             tt = F.cselect(flag, F.mul(tt, c), tt)
-            b = tt
+            return (z, tt, tt, c)
+
+        if s > 1:
+            z, tt, b, c = jax.lax.fori_loop(0, s - 1, outer, (z, tt, b, c))
         ok = F.eq(F.square(z), a)
         return z, ok | F.is_zero(a)
 

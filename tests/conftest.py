@@ -3,6 +3,13 @@
 Mirrors the reference's "multithreaded tests without a cluster" approach
 (SURVEY.md §4): multi-chip sharding is validated on a virtual CPU mesh via
 XLA_FLAGS=--xla_force_host_platform_device_count=8.
+
+NB: the persistent compilation cache is deliberately NOT enabled here —
+this jaxlib's zstandard-backed cache aborts the process on reads of
+entries that were truncated (timeout-killed writer) or written by a
+different compile service (axon remote vs local CPU: mismatched machine
+features). In-process jit caching covers the repeated-shape case; set
+CTT_JAX_CACHE explicitly to opt in for ad-hoc runs.
 """
 
 import os
@@ -11,16 +18,6 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 
-os.environ.setdefault("CTT_JAX_CACHE", "/tmp/ctt_jax_cache_cpu")
-
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-# Persistent compilation cache: crypto kernels are deep graphs; caching
-# across test runs cuts pytest wall-clock dramatically.
-cache_dir = os.environ["CTT_JAX_CACHE"]
-try:
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
-except Exception:
-    pass

@@ -15,9 +15,10 @@ from constantine_tpu.ops.pairing import get_pairing
 from constantine_tpu.utils import refmath as rm
 
 
-@pytest.fixture(scope="module")
-def pr():
-    return get_pairing("BLS12_381")
+@pytest.fixture(scope="module",
+                params=["BLS12_381", "BLS12_377", "BN254_Nogami"])
+def pr(request):
+    return get_pairing(request.param)
 
 
 def g1_points(ctx, ks):
@@ -29,7 +30,7 @@ def g1_points(ctx, ks):
 
 def g2_points(ctx, fp2, ks):
     nr = ctx.params.fp2_nonresidue
-    g2h = (ctx.params.g2_gx, ctx.params.g2_gy)
+    g2h = ctx.g2_aff
     pts = [rm.ec2_mul(k, g2h, (0, 0), nr, ctx.p) for k in ks]
     x = jnp.asarray(np.stack([fp2.encode(list(pt[0])) for pt in pts]))
     y = jnp.asarray(np.stack([fp2.encode(list(pt[1])) for pt in pts]))

@@ -133,7 +133,7 @@ def _sum_all(group, vals, n: int):
 
 
 def msm(group, points_aff, scalars, c: int = None, scalar_bits: int = None,
-        chunk: int = None, max_flat: int = 1 << 22):
+        chunk: int = None, max_flat: int = 1 << 22, use_pallas: bool = None):
     """MSM: sum_i scalars[i] * P_i. Returns a Jacobian point (batch ()).
 
     group: ops.ec.ECGroup (G1 over Fp or G2 over Fp2)
@@ -154,6 +154,16 @@ def msm(group, points_aff, scalars, c: int = None, scalar_bits: int = None,
     pts = tuple(points_aff) if isinstance(points_aff, (tuple, list)) \
         else (points_aff,)
     N = scalars.shape[0]
+    # Fused Pallas kernel path: G1 (base field, a=0) on an accelerator
+    # backend. Tower fields (G2) and CPU runs keep the XLA formulation.
+    if use_pallas is None:
+        import os
+        use_pallas = (jax.default_backend() != "cpu"
+                      or os.environ.get("CTT_MSM_PALLAS") == "1") \
+            and not hasattr(F, "deg") and group.a_int == 0
+    if use_pallas:
+        from .msm_tpu import msm_tpu
+        return msm_tpu(group, pts, scalars, c=c, scalar_bits=scalar_bits)
     bits = scalar_bits or scalars.shape[1] * 16
     if c is None:
         c = best_window_size(N, bits)

@@ -15,6 +15,15 @@ from __future__ import annotations
 
 import struct
 
+# Host-native C++ fast path (native/libconstantine_tpu_host.so); the pure
+# python below remains the reference implementation and the fallback.
+try:
+    from .. import native as _native
+    if not _native.available():
+        _native = None
+except Exception:  # pragma: no cover
+    _native = None
+
 # ---------------------------------------------------------------------------
 # SHA-256 (FIPS 180-4)
 # ---------------------------------------------------------------------------
@@ -94,6 +103,8 @@ class Sha256:
 
 
 def sha256(data: bytes) -> bytes:
+    if _native is not None:
+        return _native.sha256(data)
     return Sha256().update(data).digest()
 
 
@@ -145,6 +156,8 @@ def _keccak_f(st):
 
 
 def keccak256(data: bytes) -> bytes:
+    if _native is not None:
+        return _native.keccak256(data)
     rate = 136
     st = [[0] * 5 for _ in range(5)]
     # multi-rate padding pad10*1 (single 0x81 byte when padlen == 1)
@@ -214,6 +227,8 @@ def _rotl32(x, n):
 
 
 def ripemd160(data: bytes) -> bytes:
+    if _native is not None:
+        return _native.ripemd160(data)
     h = [0x67452301, 0xEFCDAB89, 0x98BADCFE, 0x10325476, 0xC3D2E1F0]
     msg = bytearray(data)
     bitlen = len(msg) * 8
@@ -249,6 +264,8 @@ def ripemd160(data: bytes) -> bytes:
 
 
 def hmac_sha256(key: bytes, msg: bytes) -> bytes:
+    if _native is not None:
+        return _native.hmac_sha256(key, msg)
     if len(key) > 64:
         key = sha256(key)
     key = key + b"\x00" * (64 - len(key))

@@ -1,0 +1,82 @@
+"""Differential tests for the host-native C++ runtime (native/ctt_host.cpp)
+against hashlib and the pure-python reference implementations — the
+reference's tests-vs-OpenSSL strategy (tests/t_hash_sha256_vs_openssl.nim).
+"""
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from constantine_tpu import native
+from constantine_tpu.ops import limbs as lb
+from constantine_tpu.utils import hashes as ph
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native library not built")
+
+
+def test_sha256_vs_hashlib():
+    rng = np.random.default_rng(1)
+    for _ in range(100):
+        n = int(rng.integers(0, 400))
+        data = bytes(rng.integers(0, 256, size=n, dtype=np.uint8))
+        assert native.sha256(data) == hashlib.sha256(data).digest()
+    # streaming boundary cases
+    for n in (0, 1, 55, 56, 57, 63, 64, 65, 127, 128, 129):
+        data = bytes(range(256))[:n] * 2
+        assert native.sha256(data) == hashlib.sha256(data).digest()
+
+
+def test_sha3_and_keccak():
+    rng = np.random.default_rng(2)
+    for _ in range(50):
+        n = int(rng.integers(0, 500))
+        data = bytes(rng.integers(0, 256, size=n, dtype=np.uint8))
+        assert native.sha3_256(data) == hashlib.sha3_256(data).digest()
+        assert native.keccak256(data) == ph.keccak256.__wrapped__(data) \
+            if hasattr(ph.keccak256, "__wrapped__") else True
+    assert native.keccak256(b"") == bytes.fromhex(
+        "c5d2460186f7233c927e7db2dcc703c0e500b653ca82273b7bfad8045d85a470")
+    assert native.keccak256(b"abc") == bytes.fromhex(
+        "4e03657aea45a94fc7d47ba826c8d667c0d1e6e33a64a036ec44f58fa12d6c45")
+
+
+def test_ripemd160_vectors():
+    # Bosselaers test vectors
+    vecs = {
+        b"": "9c1185a5c5e9fc54612808977ee8f548b2258d31",
+        b"a": "0bdc9d2d256b3ee9daae347be6f4dc835a467ffe",
+        b"abc": "8eb208f7e05d987a9b044a8e98c6b087f15a0bfc",
+        b"message digest": "5d0689ef49d2fae572b881b123a85ffa21595f36",
+        b"abcdefghijklmnopqrstuvwxyz":
+            "f71c27109c692c1b56bbdceb5b9d2865b3708dbc",
+    }
+    for msg, hexd in vecs.items():
+        assert native.ripemd160(msg) == bytes.fromhex(hexd)
+
+
+def test_hmac_vs_python():
+    rng = np.random.default_rng(3)
+    for _ in range(30):
+        kl = int(rng.integers(0, 100))
+        ml = int(rng.integers(0, 300))
+        key = bytes(rng.integers(0, 256, size=kl, dtype=np.uint8))
+        msg = bytes(rng.integers(0, 256, size=ml, dtype=np.uint8))
+        import hmac
+        assert native.hmac_sha256(key, msg) == \
+            hmac.new(key, msg, hashlib.sha256).digest()
+
+
+def test_limb_marshalling_roundtrip():
+    rng = np.random.default_rng(4)
+    for _ in range(30):
+        nb = int(rng.integers(1, 33)) * 2
+        n = int(rng.integers(1, 64))
+        L = nb // 2 + int(rng.integers(0, 3))
+        data = bytes(rng.integers(0, 256, size=n * nb, dtype=np.uint8))
+        a = native.bytes_be_to_limbs(data, nb, L)
+        b = lb.bytes_be_to_limbs(data, nb, L)
+        assert (a == b).all()
+        assert native.limbs_to_bytes_be(a, nb) == \
+            lb.limbs_to_bytes_be(b, nb) == data

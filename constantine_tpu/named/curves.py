@@ -187,6 +187,20 @@ Secp256k1 = CurveParams(
     family="plain",
 )
 
+# -- NIST P-224 ----------------------------------------------------------------
+# Reference: config_fields_and_curves.nim P224 entry (generic prime, a=-3).
+
+P224 = CurveParams(
+    name="P224",
+    p=2**224 - 2**96 + 1,
+    r=0xFFFFFFFFFFFFFFFFFFFFFFFFFFFF16A2E0B8F03E13DD29455C5C2A3D,
+    a=-3,
+    b=0xB4050A850C04B3ABF54132565044B0B7D7BFD8BA270B39432355FFB4,
+    gx=0xB70E0CBD6BB4BF7F321390B94A03C1D356C21122343280D6115C1D21,
+    gy=0xBD376388B5F723FB4C22DFE6CD4375A05A07476444D5819985007E34,
+    family="plain",
+)
+
 # -- NIST P-256 ----------------------------------------------------------------
 
 P256 = CurveParams(
@@ -246,6 +260,19 @@ Jubjub = EdwardsParams(
     d=0x2A9318E74BFA2B48F5FD9207E6BD7FD4292D7F6D37579D2601065FD6D6343EB1,
     cofactor=8)
 
+# BabyJubjub (EIP-2494): embedded in the BN254-Snarks scalar field
+# (reference config_fields_and_curves.nim BabyJubjub entry). Twisted
+# Edwards form 168700*x^2 + y^2 = 1 + 168696*x^2*y^2; generator below is
+# the EIP-2494 prime-subgroup base point.
+BabyJubjub = EdwardsParams(
+    name="BabyJubjub", p=_BN254_R,
+    r=2736030358979909402780800718157159386076813972158567259200215660948447373041,
+    a=168700,
+    d=168696,
+    cofactor=8,
+    gx=5299619240641551281634865583518297030282874472190772894086521144482721001553,
+    gy=16950150798460657717958625567821834550301663161624707787222815936182638968203)
+
 # Edwards25519 (RFC 7748/8032)
 Edwards25519 = EdwardsParams(
     name="Edwards25519", p=(1 << 255) - 19,
@@ -257,7 +284,8 @@ Edwards25519 = EdwardsParams(
     gy=46316835694926478169428394003475163141307993866256225615783033603165251855960)
 
 EDWARDS_CURVES = {
-    c.name: c for c in (Bandersnatch, Banderwagon, Jubjub, Edwards25519)
+    c.name: c for c in (Bandersnatch, Banderwagon, Jubjub, BabyJubjub,
+                        Edwards25519)
 }
 
 # -- Small test fields (analogue of the reference's -d:CTT_TEST_CURVES fakes,
@@ -266,6 +294,7 @@ EDWARDS_CURVES = {
 TEST_FIELDS = {
     "F5": 5,
     "F101": 101,            # reference 'Fake101'
+    "F103": 103,            # reference 'Fake103'
     "F10007": 10007,
     "F65519": 65519,
     "Mersenne61": (1 << 61) - 1,
@@ -277,5 +306,5 @@ TEST_FIELDS = {
 
 CURVES = {
     c.name: c for c in (BLS12_381, BLS12_377, BN254_Snarks, BN254_Nogami,
-                        BW6_761, Pallas, Vesta, Secp256k1, P256)
+                        BW6_761, Pallas, Vesta, Secp256k1, P224, P256)
 }

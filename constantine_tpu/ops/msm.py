@@ -133,7 +133,8 @@ def _sum_all(group, vals, n: int):
 
 
 def msm(group, points_aff, scalars, c: int = None, scalar_bits: int = None,
-        chunk: int = None, max_flat: int = 1 << 22, use_pallas: bool = None):
+        chunk: int = None, max_flat: int = 1 << 22, use_pallas: bool = None,
+        digits=None):
     """MSM: sum_i scalars[i] * P_i. Returns a Jacobian point (batch ()).
 
     group: ops.ec.ECGroup (G1 over Fp or G2 over Fp2)
@@ -153,7 +154,7 @@ def msm(group, points_aff, scalars, c: int = None, scalar_bits: int = None,
     F = group.F
     pts = tuple(points_aff) if isinstance(points_aff, (tuple, list)) \
         else (points_aff,)
-    N = scalars.shape[0]
+    N = pts[0].shape[0] if scalars is None else scalars.shape[0]
     # Fused Pallas kernel path: G1 (base field, a=0) on an accelerator
     # backend. Tower fields (G2) and CPU runs keep the XLA formulation.
     if use_pallas is None:
@@ -163,14 +164,20 @@ def msm(group, points_aff, scalars, c: int = None, scalar_bits: int = None,
             and not hasattr(F, "deg") and group.a_int == 0
     if use_pallas:
         from .msm_tpu import msm_tpu
-        return msm_tpu(group, pts, scalars, c=c, scalar_bits=scalar_bits)
-    bits = scalar_bits or scalars.shape[1] * 16
-    if c is None:
-        c = best_window_size(N, bits)
-    W = -(-bits // c) + 1  # +1 for signed-digit carry overflow
-    half = 1 << (c - 1)
-
-    digits = _signed_digits(scalars, c, W)          # (W, N) int32
+        return msm_tpu(group, pts, scalars, c=c, scalar_bits=scalar_bits,
+                       digits=digits)
+    if digits is not None:
+        # precomputed signed digits (W, N) — fixed-base path (msm_precomp)
+        assert c is not None
+        W = digits.shape[0]
+        half = 1 << (c - 1)
+    else:
+        bits = scalar_bits or scalars.shape[1] * 16
+        if c is None:
+            c = best_window_size(N, bits)
+        W = -(-bits // c) + 1  # +1 for signed-digit carry overflow
+        half = 1 << (c - 1)
+        digits = _signed_digits(scalars, c, W)      # (W, N) int32
 
     # group windows so each flattened stream is <= max_flat entries
     wg = max(1, min(W, max_flat // max(N, 1)))

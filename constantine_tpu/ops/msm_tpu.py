@@ -58,7 +58,7 @@ def best_window_tpu(n: int, bits: int = 255) -> int:
 
 
 def msm_tpu(group, points_aff, scalars, c: int = None,
-            scalar_bits: int = None, block: int = 512):
+            scalar_bits: int = None, block: int = 512, digits=None):
     """MSM over the Pallas kernel path. Same contract as ops.msm.msm:
     returns a Jacobian point tuple with batch shape () in standard (.., L)
     layout. G1 over Fp only (tower fields fall back to the XLA path)."""
@@ -66,14 +66,18 @@ def msm_tpu(group, points_aff, scalars, c: int = None,
     pec = get_pallas_ec(F, block)
     L = F.L
     px, py = points_aff
-    N = scalars.shape[0]
-    bits = scalar_bits or scalars.shape[1] * 16
-    if c is None:
-        c = best_window_tpu(N, bits)
-    W = _cdiv(bits + 1, c)
-    H = 1 << (c - 1)
-
-    digits = _signed_digits(scalars, c, W)            # (W, N) int32
+    N = px.shape[0] if scalars is None else scalars.shape[0]
+    if digits is not None:
+        assert c is not None
+        W = digits.shape[0]
+        H = 1 << (c - 1)
+    else:
+        bits = scalar_bits or scalars.shape[1] * 16
+        if c is None:
+            c = best_window_tpu(N, bits)
+        W = _cdiv(bits + 1, c)
+        H = 1 << (c - 1)
+        digits = _signed_digits(scalars, c, W)        # (W, N) int32
 
     # ---- global keys + one sort ------------------------------------------
     widx = jax.lax.broadcasted_iota(jnp.int32, (W, N), 0)

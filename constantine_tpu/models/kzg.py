@@ -44,17 +44,39 @@ class KZG:
         N = FIELD_ELEMENTS_PER_BLOB
         self.n_inv = jnp.asarray(
             self.fr.encode([pow(N, -1, self.fr.p_int)])[0])
+        # Fixed-base acceleration: the commit/prove MSM bases are the same
+        # SRS forever, so stride-shifted tables (ops/msm_precomp.py — the
+        # reference's PrecomputedMSM / PeerDAS spectrum-bank precompute
+        # pattern, ethereum_kzg_srs.nim:122-134) remove the window
+        # recursion. Default on for accelerator backends; CTT_KZG_PRECOMP
+        # overrides (CPU test runs skip the precompute cost).
+        import os
+        pre = os.environ.get("CTT_KZG_PRECOMP")
+        if pre is None:
+            pre = "1" if jax.default_backend() != "cpu" else "0"
+        self._pm = None
+        if pre == "1":
+            from ..ops.msm_precomp import PrecomputedMSM
+            self._pm = PrecomputedMSM(self.ctx.g1, self.s.g1_lagrange_brp,
+                                      scalar_bits=255)
         self.commit = jax.jit(self.commit)
         self.eval_at = jax.jit(self.eval_at)
         self.compute_quotient = jax.jit(self.compute_quotient)
+
+    def _msm_srs(self, scalars_canonical):
+        """MSM over the Lagrange SRS: precomputed fixed-base path when
+        enabled, plain Pippenger otherwise."""
+        if self._pm is not None:
+            return self._pm(scalars_canonical)
+        return msm(self.ctx.g1, self.s.g1_lagrange_brp, scalars_canonical,
+                   scalar_bits=255)
 
     # -- commitment ------------------------------------------------------------
 
     def commit(self, evals_brp_canonical):
         """evals (N=4096, L) canonical Fr limbs, brp order -> Jacobian G1.
         kzg_commit analogue (kzg.nim:177-202)."""
-        return msm(self.ctx.g1, self.s.g1_lagrange_brp, evals_brp_canonical,
-                   scalar_bits=255)
+        return self._msm_srs(evals_brp_canonical)
 
     # -- barycentric evaluation --------------------------------------------------
 
@@ -118,8 +140,7 @@ class KZG:
         Returns (proof Jacobian G1 point, y_mont)."""
         q, y = self.compute_quotient(evals_brp_mont, z_mont)
         q_canonical = self.fr.from_mont(q)
-        proof = msm(self.ctx.g1, self.s.g1_lagrange_brp, q_canonical,
-                    scalar_bits=255)
+        proof = self._msm_srs(q_canonical)
         return proof, y
 
 

@@ -57,8 +57,14 @@ class CurveCtx:
         self.r = params.r
         self.a = params.a % params.p
         self.b = params.b % params.p
-        self.fp = Field(self.p, f"Fp[{self.name}]")
-        self.fr = Field(self.r, f"Fr[{self.name}]")
+        # Crandall / pseudo-Mersenne fast path for moduli 2^m - c (e.g.
+        # secp256k1 Fp, Edwards25519 Fp): analogue of the reference's
+        # per-curve backend selection (named/properties_fields.nim:104-112).
+        from ..ops.crandall import CrandallField, crandall_c
+        self.fp = (CrandallField if crandall_c(self.p) else Field)(
+            self.p, f"Fp[{self.name}]")
+        self.fr = (CrandallField if crandall_c(self.r) else Field)(
+            self.r, f"Fr[{self.name}]")
 
         # family identities / derived cofactors
         self.x_param = params.x_param
@@ -289,8 +295,14 @@ class EdwardsCtx:
         self.r = params.r
         self.a = params.a
         self.d = params.d % params.p
-        self.fp = Field(self.p, f"Fp[{self.name}]")
-        self.fr = Field(self.r, f"Fr[{self.name}]")
+        # Crandall / pseudo-Mersenne fast path for moduli 2^m - c (e.g.
+        # secp256k1 Fp, Edwards25519 Fp): analogue of the reference's
+        # per-curve backend selection (named/properties_fields.nim:104-112).
+        from ..ops.crandall import CrandallField, crandall_c
+        self.fp = (CrandallField if crandall_c(self.p) else Field)(
+            self.p, f"Fp[{self.name}]")
+        self.fr = (CrandallField if crandall_c(self.r) else Field)(
+            self.r, f"Fr[{self.name}]")
         self.cofactor = params.cofactor
 
         if params.gx is None:
@@ -351,7 +363,9 @@ def get_field(name: str) -> Field:
     """Field registry: curve fields as '<Curve>.Fp'/'<Curve>.Fr', or test
     fields by name ('F101', 'BabyBear', ...)."""
     if name in curvedefs.TEST_FIELDS:
-        return Field(curvedefs.TEST_FIELDS[name], name)
+        from ..ops.crandall import CrandallField, crandall_c
+        p = curvedefs.TEST_FIELDS[name]
+        return (CrandallField if crandall_c(p) else Field)(p, name)
     curve, which = name.rsplit(".", 1)
     ctx = get_curve(curve)
     return ctx.fp if which == "Fp" else ctx.fr

@@ -41,6 +41,13 @@ class SqrtCtx:
             s += 1
         self.s, self.t = s, t
         self.is_3mod4 = (q % 4 == 3)
+        self.is_5mod8 = (q % 8 == 5)
+        self.sqrt_m1 = None
+        if self.is_5mod8:
+            # Atkin path (finite_fields_square_root.nim:58 analogue):
+            # sqrt(-1) = 2^((q-1)/4), a device constant
+            self.sqrt_m1 = np.asarray(F.encode([pow(2, (q - 1) // 4, q)]))[0] \
+                if getattr(F, "deg", 1) == 1 else None
         if not self.is_3mod4:
             # find a quadratic nonresidue z (host side, Euler criterion)
             if nonresidue_coeffs is None:
@@ -57,6 +64,8 @@ class SqrtCtx:
                 c = F.pow_const(jnp.asarray(z)[None], t)
                 self.c_enc = np.asarray(jax.device_get(c))[0]
         self.sqrt = jax.jit(self.sqrt)
+        self.invsqrt = jax.jit(self.invsqrt)
+        self.sqrt_invsqrt = jax.jit(self.sqrt_invsqrt)
 
     def sqrt(self, a):
         """Returns (root, is_square). Zero maps to (0, True)."""
@@ -64,6 +73,16 @@ class SqrtCtx:
         q, s, t = self.q, self.s, self.t
         if self.is_3mod4:
             r = F.pow_const(a, (q + 1) // 4)
+            ok = F.eq(F.square(r), a)
+            return r, ok | F.is_zero(a)
+
+        if self.is_5mod8 and self.sqrt_m1 is not None:
+            # x = a^((q+3)/8); if x^2 == -a, the root is x*sqrt(-1)
+            x = F.pow_const(a, (q + 3) // 8)
+            x2 = F.square(x)
+            wrong = F.eq(x2, F.neg(a))
+            xm = F.mul(x, jnp.broadcast_to(jnp.asarray(self.sqrt_m1), x.shape))
+            r = F.cselect(wrong, xm, x)
             ok = F.eq(F.square(r), a)
             return r, ok | F.is_zero(a)
 
@@ -93,6 +112,35 @@ class SqrtCtx:
             z, tt, b, c = jax.lax.fori_loop(0, s - 1, outer, (z, tt, b, c))
         ok = F.eq(F.square(z), a)
         return z, ok | F.is_zero(a)
+
+    def invsqrt(self, a):
+        """(1/sqrt(a), is_square). Zero maps to (0, True).
+
+        Analogue of invsqrt (finite_fields_square_root.nim:136): for
+        q ≡ 3 (mod 4) a single addchain a^((q-3)/4) gives the inverse root
+        directly; otherwise sqrt + one batched inversion.
+        """
+        F = self.F
+        if self.is_3mod4:
+            r = F.pow_const(a, (self.q - 3) // 4)     # r^2 = 1/a for QRs
+            ok = F.eq(F.mul(F.square(r), a), F.broadcast_one(
+                a.shape[:-1] if getattr(F, "deg", 1) == 1 else a.shape[:-2]))
+            return r, ok | F.is_zero(a)
+        r, ok = self.sqrt(a)
+        return F.mul(r, F.inv(a)), ok
+
+    def sqrt_invsqrt(self, a):
+        """Fused (sqrt, invsqrt, is_square) — sqrt_invsqrt analogue
+        (finite_fields_square_root.nim:155): one exponentiation yields both
+        for q ≡ 3 (mod 4): invsqrt = a^((q-3)/4), sqrt = a * invsqrt."""
+        F = self.F
+        if self.is_3mod4:
+            ir = F.pow_const(a, (self.q - 3) // 4)
+            r = F.mul(a, ir)
+            ok = F.eq(F.square(r), a)
+            return r, ir, ok | F.is_zero(a)
+        r, ok = self.sqrt(a)
+        return r, F.mul(r, F.inv(a)), ok
 
 
 @functools.lru_cache(maxsize=None)

@@ -26,6 +26,7 @@ from ..ops import limbs as lb
 from ..ops.sqrt import SqrtCtx, get_sqrt_fp, get_sqrt_fp2
 from ..ops.towers import build_tower
 from ..utils import refmath as rm
+from ..utils import refmath as rm
 from ..utils.hashes import sha256
 
 
@@ -173,6 +174,140 @@ class SSWUMap:
         inv = F.batch_inv(stacked.reshape((-1,) + stacked.shape[2:]))
         inv = inv.reshape(stacked.shape)
         return F.mul(xn, inv[0]), F.mul(y, F.mul(yn, inv[1]))
+
+
+def find_z_svdw(p: int, A: int, B: int):
+    """RFC 9380 H.1 Z-selection for the SVDW map (host-side)."""
+    def g(x):
+        return (x * x * x + A * x + B) % p
+
+    def is_sq(v):
+        return v == 0 or pow(v, (p - 1) // 2, p) == 1
+
+    ctr = 1
+    while True:
+        for Z in (ctr, -ctr):
+            Zp = Z % p
+            gZ = g(Zp)
+            if gZ == 0:
+                continue
+            t = (-(3 * Zp * Zp + 4 * A)) % p
+            d = (4 * gZ) % p
+            v = (t * pow(d, -1, p)) % p
+            if v == 0 or not is_sq(v):
+                continue
+            if not (is_sq(gZ) or is_sq(g((-Zp * pow(2, -1, p)) % p))):
+                continue
+            return Zp
+        ctr += 1
+
+
+class SVDWMap:
+    """Shallue–van de Woestijne map to E directly (RFC 9380 §6.6.1) —
+    the reference's mapToCurve_svdw fallback
+    (hash_to_curve/hash_to_curve.nim:40-91) for curves without a
+    low-degree isogeny (BN254-Snarks G1/G2). Fully branchless: the three
+    candidate x's are resolved with masked selects and three batched
+    square-root chains.
+
+    Fp only for now (m=1); constants derived host-side from (p, A, B).
+    """
+
+    def __init__(self, F, sqrt_ctx: SqrtCtx, p: int, A: int, B: int,
+                 Z: int = None):
+        self.F = F
+        self.sq = sqrt_ctx
+        self.p = p
+        self.A_int, self.B_int = A % p, B % p
+        if Z is None:
+            Z = find_z_svdw(p, self.A_int, self.B_int)
+        gZ = (Z * Z * Z + self.A_int * Z + self.B_int) % p
+        c1 = gZ
+        c2 = (-Z * pow(2, -1, p)) % p
+        t = (-gZ * (3 * Z * Z + 4 * self.A_int)) % p
+        c3 = rm.sqrt_mod(t, p)
+        assert c3 is not None, "SVDW c3 must exist (Z selection)"
+        if c3 & 1:       # sgn0(c3) must be 0
+            c3 = p - c3
+        c4 = (-4 * gZ * pow(3 * Z * Z + 4 * self.A_int, -1, p)) % p
+        enc = lambda v: F.encode([v % p])[0]
+        self.Z = enc(Z)
+        self.c1 = enc(c1)
+        self.c2 = enc(c2)
+        self.c3 = enc(c3)
+        self.c4 = enc(c4)
+        self.A = enc(self.A_int)
+        self.B = enc(self.B_int)
+        self.map_to_curve = jax.jit(self.map_to_curve)
+
+    def _const(self, c, like):
+        return jnp.broadcast_to(jnp.asarray(c), like.shape)
+
+    def _sgn0(self, v):
+        c = self.F.from_mont(v)
+        return (c[..., 0] & 1).astype(jnp.bool_)
+
+    def _g(self, x):
+        F = self.F
+        return F.add(F.mul(F.add(F.square(x), self._const(self.A, x)), x),
+                     self._const(self.B, x))
+
+    def map_to_curve(self, u):
+        """u: batched Fp elements (Montgomery) -> affine (x, y) on E."""
+        F = self.F
+        one = F.broadcast_one(u.shape[:-1])
+        tv1 = F.mul(F.square(u), self._const(self.c1, u))
+        tv2 = F.add(one, tv1)
+        tv1 = F.sub(one, tv1)
+        tv3 = F.batch_inv(F.mul(tv1, tv2))           # inv0
+        tv4 = F.mul(F.mul(F.mul(u, tv1), tv3), self._const(self.c3, u))
+        x1 = F.sub(self._const(self.c2, u), tv4)
+        x2 = F.add(self._const(self.c2, u), tv4)
+        x3 = F.add(F.mul(F.square(F.mul(F.square(tv2), tv3)),
+                         self._const(self.c4, u)),
+                   self._const(self.Z, u))
+        gx1, gx2 = self._g(x1), self._g(x2)
+        y1, e1 = self.sq.sqrt(gx1)
+        y2, e2s = self.sq.sqrt(gx2)
+        e2 = e2s & ~e1
+        x = F.cselect(e1, x1, F.cselect(e2, x2, x3))
+        gx = self._g(x)
+        y3, _ = self.sq.sqrt(gx)
+        y = F.cselect(e1, y1, F.cselect(e2, y2, y3))
+        flip = self._sgn0(u) != self._sgn0(y)
+        y = F.cselect(flip, F.neg(y), y)
+        return x, y
+
+
+class HashToCurveBN254G1:
+    """hash-to-curve over BN254-Snarks G1 via SVDW (cofactor 1, so no
+    clearing needed) — the reference's BN254 suite
+    (named/constants/bn254_snarks_hash_to_curve_g1.nim uses SVDW too)."""
+
+    def __init__(self):
+        from ..named.precompute import get_curve
+        from ..ops.sqrt import get_sqrt_fp
+        self.ctx = get_curve("BN254_Snarks")
+        self.svdw = SVDWMap(self.ctx.fp, get_sqrt_fp("BN254_Snarks"),
+                            self.ctx.p, self.ctx.a, self.ctx.b)
+
+    def hash_to_g1(self, msgs, dst: bytes):
+        """msgs: list of bytes -> Jacobian G1 batch (len(msgs),)."""
+        ctx = self.ctx
+        us = hash_to_field(msgs, dst, count=2, m=1, p=ctx.p)
+        n = len(msgs)
+        u0 = [us[k][0][0] for k in range(n)]
+        u1 = [us[k][1][0] for k in range(n)]
+        u = jnp.asarray(ctx.fp.encode(u0 + u1))
+        x, y = self.svdw.map_to_curve(u)
+        P = ctx.g1.from_affine((x[:n], y[:n]))
+        Q = ctx.g1.from_affine((x[n:], y[n:]))
+        return ctx.g1.add(P, Q)
+
+
+@functools.lru_cache(maxsize=None)
+def get_h2c_bn254() -> HashToCurveBN254G1:
+    return HashToCurveBN254G1()
 
 
 # ---------------------------------------------------------------------------

@@ -83,3 +83,32 @@ def test_hash_to_g1_vectors():
     for i, v in enumerate(vecs):
         assert ctx.fp.decode(x[i]) == int(v["P"]["x"], 16), v["msg"]
         assert ctx.fp.decode(y[i]) == int(v["P"]["y"], 16), v["msg"]
+
+
+# ---------------------------------------------------------------------------
+# SVDW fallback map (BN254-Snarks G1) — mapToCurve_svdw analogue
+# (hash_to_curve/hash_to_curve.nim:40-91)
+# ---------------------------------------------------------------------------
+
+def test_svdw_bn254_g1_properties():
+    import numpy as np
+    import jax.numpy as jnp
+    from constantine_tpu.models.hash_to_curve import get_h2c_bn254, find_z_svdw
+    from constantine_tpu.named.precompute import get_curve
+
+    ctx = get_curve("BN254_Snarks")
+    assert find_z_svdw(ctx.p, ctx.a, ctx.b) == 1
+    h = get_h2c_bn254()
+    dst = b"QUUX-V01-CS02-with-BN254G1_XMD:SHA-256_SVDW_RO_"
+    msgs = [b"", b"abc", b"abcdef0123456789"]
+    P = h.hash_to_g1(msgs, dst)
+    assert np.asarray(ctx.g1.is_on_curve(P)).all()
+    assert not np.asarray(ctx.g1.is_inf(P)).any()
+    # deterministic and in the r-subgroup
+    P2 = h.hash_to_g1([b"abc"], dst)
+    (x1, _), _ = ctx.g1.to_affine(P)
+    (x2, _), _ = ctx.g1.to_affine(P2)
+    assert ctx.fp.decode(x1)[1] == ctx.fp.decode(x2)[0]
+    r = jnp.asarray(ctx.scalars_to_limbs([ctx.r] * len(msgs)))
+    assert np.asarray(
+        ctx.g1.is_inf(ctx.g1.scalar_mul(r, P, scalar_bits=254))).all()

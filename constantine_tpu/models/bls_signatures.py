@@ -134,7 +134,7 @@ class BLSSignatures:
         prod_i e(pk_i, H(m_i)) == e(G1, sig)."""
         ctx = self.ctx
         n = len(msgs)
-        if n == 0 or len(pubkeys) != 48 * n:
+        if n == 0 or len(pubkeys) != 48 * n or len(signature) != 96:
             return False
         (px, py), p_inf, p_ok = self.codec.g1_decompress(pubkeys)
         (sx, sy), s_inf, s_ok = self.codec.g2_decompress(signature)

@@ -12,17 +12,24 @@ Stage structure (all static shapes, one jit):
    mixed-add per entry, emitting partial bucket sums at run boundaries
    (ops/pallas_ec.py flush_scan). This is the reference's bucket
    accumulation hot loop (schedAccumulate) with sorting standing in for the
-   CycloneMSM collision scheduler.
-3. fixed cascade of merge scans (Jacobian adds) until each bucket has at
-   most 4 partials, then 2 masked adjacent-add tree rounds -> unique bucket
-   sums. The cascade replaces a log-depth segmented tree over the whole
-   stream (~8x fewer EC adds).
-4. weighted bucket reduction sum_b b*B_b via the classic running-suffix
+   CycloneMSM collision scheduler. The gathered point stream rides packed
+   (two 16-bit digits per u32, negation folded into a [y, -y] table) and
+   the kernel unpacks in VMEM — the input stream is the biggest HBM read.
+3. compact: the dense emission arrays are reduced keys-first (compact the
+   small key plane, then one 2-axis gather pulls only the ~(M + buckets)
+   real partials) — never transposing the dense (K, L, M) emissions.
+4. merge scan(s): K is sized so a bucket has at most ~K2*4 partials, so ONE
+   merge pass (Jacobian adds over 32-chunks) plus 2 masked adjacent-add
+   tree rounds yields unique bucket sums. (The while loop generalizes to
+   any N; for typical sizes it runs exactly once.)
+5. weighted bucket reduction sum_b b*B_b via the classic running-suffix
    trick, chunk-parallel: T serial steps over C*W lanes then a second-level
    pass over chunks (ops/pallas_ec.py bucket_reduce), 2 adds per bucket
    total — the TPU version of the reference's serial sweep
    (ec_multi_scalar_mul.nim:186).
-5. window combine by c fused doublings per window.
+6. window combine: one masked-doubling-ladder kernel scales every window
+   sum by 2^(c*w) in parallel (pallas_ec.scaled_doubles), then a log2(W)
+   lane add-tree.
 """
 
 from __future__ import annotations
@@ -57,6 +64,52 @@ def best_window_tpu(n: int, bits: int = 255) -> int:
     return best
 
 
+def _pack16(a):
+    """(.., L) u32 16-bit digits -> (.., L//2) with digit 2i in the low half."""
+    return a[..., 0::2] | (a[..., 1::2] << 16)
+
+
+def _compact_gather(ekeys, coords, S):
+    """Keys-first compaction of dense scan emissions.
+
+    ekeys: (R, M) int32 — per-lane emission keys, -1/0 = not real.
+    coords: list of (R, L, M) uint32 planar coordinate planes.
+    Returns (keys (S,) int32, [(L, S) planes]) holding the <= S real
+    entries in m-major stream order (lane-major preserves global key
+    sortedness: lane m sweeps stream positions m*K..). Only the small key
+    plane is transposed; coordinates move through ONE gather of the real
+    entries instead of a dense (R, L, M) transpose.
+    """
+    R, M = ekeys.shape
+    ckf = ekeys.T.reshape(-1)                         # (M*R,) m-major
+    real = ckf > 0
+    pos = jnp.cumsum(real.astype(jnp.int32)) - 1
+    pos = jnp.where(real, pos, S)
+    nk = jnp.zeros((S,), jnp.int32).at[pos].set(ckf, mode="drop")
+    src = jnp.zeros((S,), jnp.int32).at[pos].set(
+        jnp.arange(M * R, dtype=jnp.int32), mode="drop")
+    m_i = src // R
+    k_i = src - m_i * R
+    outs = [ex[k_i, :, m_i].T for ex in coords]       # (L, S) each
+    return nk, outs
+
+
+def _lane_tree_sum(pec, P, n):
+    """Jacobian sum of the first n lanes of (L, n) planar coords."""
+    X, Y, Z = P
+    while n > 1:
+        h = n // 2
+        s = pec.add(tuple(v[:, :h] for v in (X, Y, Z)),
+                    tuple(v[:, h:2 * h] for v in (X, Y, Z)))
+        if n % 2:
+            X, Y, Z = tuple(jnp.concatenate([sv, v[:, 2 * h:]], axis=1)
+                            for sv, v in zip(s, (X, Y, Z)))
+        else:
+            X, Y, Z = s
+        n = h + (n % 2)
+    return X, Y, Z
+
+
 def msm_tpu(group, points_aff, scalars, c: int = None,
             scalar_bits: int = None, block: int = 512, digits=None):
     """MSM over the Pallas kernel path. Same contract as ops.msm.msm:
@@ -86,9 +139,13 @@ def msm_tpu(group, points_aff, scalars, c: int = None,
     neg = (digits < 0).reshape(-1)
     flat = W * N
 
-    # flush geometry: M lanes sweeping K-length chunks
-    K = int(np.clip(round(flat / 49152), 8, 64))
-    M = _rup(_cdiv(flat, K), block)
+    # flush geometry: M lanes sweeping K-length chunks. K is sized so the
+    # worst-case partials per bucket, ceil(N/K)+1 (a run has <= N entries
+    # and touches <= run/K + 1 lane chunks), collapses in one merge round:
+    # ceil(96/K2=32)+1 = 4 <= the 2 tree rounds' reach.
+    K0 = max(8, _cdiv(N, 64))
+    M = _rup(_cdiv(flat, K0), block)
+    K = _cdiv(flat, M)
     pad = M * K - flat
     if pad:
         keys = jnp.concatenate([keys, jnp.zeros((pad,), keys.dtype)])
@@ -98,34 +155,37 @@ def msm_tpu(group, points_aff, scalars, c: int = None,
     pidx = order % N                                   # point index
     sneg = neg[order]
 
-    # gather + conditional negate in standard layout, then planar-transpose
-    gx = jnp.take(px, pidx, axis=0)                    # (flat+pad, L)
-    gy = jnp.take(py, pidx, axis=0)
-    gy = lb.cselect(sneg & (sk > 0), _neg_std(F, gy), gy)
-
-    # (M*K, L) -> (K, L, M): stream position p = m*K + k
-    sxT = gx.reshape(M, K, L).transpose(1, 2, 0)
-    syT = gy.reshape(M, K, L).transpose(1, 2, 0)
+    # gather the point stream packed (2 digits/u32), negation via a doubled
+    # [y, -y] table — the selected row is already the signed point.
+    packed = (L % 2 == 0)
+    if packed:
+        Lh = L // 2
+        pxp = _pack16(px)
+        ytab = jnp.concatenate([_pack16(py), _pack16(_neg_std(F, py))], 0)
+        gx = jnp.take(pxp, pidx, axis=0)               # (M*K, Lh)
+        gy = jnp.take(ytab, pidx + sneg.astype(jnp.int32) * N, axis=0)
+        sxT = gx.reshape(M, K, Lh).transpose(1, 2, 0)  # (K, Lh, M)
+        syT = gy.reshape(M, K, Lh).transpose(1, 2, 0)
+    else:
+        gx = jnp.take(px, pidx, axis=0)                # (M*K, L)
+        gy = jnp.take(py, pidx, axis=0)
+        gy = lb.cselect(sneg & (sk > 0), _neg_std(F, gy), gy)
+        sxT = gx.reshape(M, K, L).transpose(1, 2, 0)
+        syT = gy.reshape(M, K, L).transpose(1, 2, 0)
     skT = sk.reshape(M, K).T
 
-    ekeys, ex, ey, ez = pec.flush_scan(skT, sxT, syT)  # (K+1, M) / (K+1,L,M)
-
-    # flatten emissions lane-major (stream stays key-sorted)
-    ck = ekeys.T.reshape(-1)                           # (M*(K+1),)
-    cx = ex.transpose(2, 0, 1).reshape(M * (K + 1), L).T  # (L, M*(K+1))
-    cy = ey.transpose(2, 0, 1).reshape(M * (K + 1), L).T
-    cz = ez.transpose(2, 0, 1).reshape(M * (K + 1), L).T
+    ekeys, ex, ey, ez = pec.flush_scan(skT, sxT, syT, packed=packed)
 
     nb = W * (H + 1)
     K2 = 32
 
-    # ---- merge cascade ----------------------------------------------------
-    r = M  # max partials per bucket after the flush
+    # ---- compact + merge until <= 4 partials per bucket --------------------
+    # emissions <= runs + split boundaries <= nb + M (each of the M chunk
+    # boundaries splits at most one run)
+    r = _cdiv(N, K) + 1
     S = min(M * (K + 1), M + nb)
-    while True:
-        ck, cx, cy, cz, S = _compact(ck, cx, cy, cz, S)
-        if r <= 4:
-            break
+    ck, (cx, cy, cz) = _compact_gather(ekeys, [ex, ey, ez], S)
+    while r > 4:
         M2 = _rup(_cdiv(S, K2), 128)
         pad2 = M2 * K2 - S
         if pad2:
@@ -134,16 +194,13 @@ def msm_tpu(group, points_aff, scalars, c: int = None,
             cy = jnp.pad(cy, ((0, 0), (0, pad2)))
             cz = jnp.pad(cz, ((0, 0), (0, pad2)))
         kT = ck.reshape(M2, K2).T
-        xT = cx.T.reshape(M2, K2, L).transpose(1, 2, 0)
-        yT = cy.T.reshape(M2, K2, L).transpose(1, 2, 0)
-        zT = cz.T.reshape(M2, K2, L).transpose(1, 2, 0)
+        xT = cx.reshape(L, M2, K2).transpose(2, 0, 1)
+        yT = cy.reshape(L, M2, K2).transpose(2, 0, 1)
+        zT = cz.reshape(L, M2, K2).transpose(2, 0, 1)
         ekeys, ex, ey, ez = pec.merge_scan(kT, xT, yT, zT)
-        ck = ekeys.T.reshape(-1)
-        cx = ex.transpose(2, 0, 1).reshape(M2 * (K2 + 1), L).T
-        cy = ey.transpose(2, 0, 1).reshape(M2 * (K2 + 1), L).T
-        cz = ez.transpose(2, 0, 1).reshape(M2 * (K2 + 1), L).T
         r = _cdiv(r, K2) + 1
         S = min(M2 * (K2 + 1), M2 + nb)
+        ck, (cx, cy, cz) = _compact_gather(ekeys, [ex, ey, ez], S)
 
     # ---- 2 tree rounds: inclusive segmented sum over runs (len <= 4) ------
     Sf = ck.shape[0]
@@ -206,11 +263,9 @@ def msm_tpu(group, points_aff, scalars, c: int = None,
     t1 = pec.add(tA, (s2X, s2Y, s2Z))
     wsum = pec.add(t1, (r2X, r2Y, r2Z))                # (L, W) window sums
 
-    # ---- window combine: total = ((S_top * 2^c + S_{w-1}) * 2^c + ...) ----
-    total = tuple(v[:, W - 1:W] for v in wsum)
-    for w in range(W - 2, -1, -1):
-        total = pec.double_k(total, c)
-        total = pec.add(total, tuple(v[:, w:w + 1] for v in wsum))
+    # ---- window combine: one masked-doubling ladder + lane add-tree --------
+    dws = pec.scaled_doubles(wsum, c, W)               # lane w = 2^(cw)*S_w
+    total = _lane_tree_sum(pec, dws, W)
 
     # back to standard layout, batch ()
     return tuple(t[:, 0].T.reshape(L) for t in total)
@@ -220,20 +275,6 @@ def _neg_std(F, y):
     """Field negation in standard (.., L) layout (XLA-side)."""
     d, _ = lb.sub_borrow(jnp.broadcast_to(jnp.asarray(F.p), y.shape), y)
     return lb.cselect(lb.is_zero(y), y, d)
-
-
-def _compact(ck, cx, cy, cz, S):
-    """Drop non-real entries (key <= 0), keep order, pad to static size S."""
-    L = cx.shape[0]
-    n = ck.shape[0]
-    real = ck > 0
-    pos = jnp.cumsum(real.astype(jnp.int32)) - 1
-    pos = jnp.where(real, pos, S)
-    nk = jnp.zeros((S,), jnp.int32).at[pos].set(ck, mode="drop")
-    nx = jnp.zeros((L, S), jnp.uint32).at[:, pos].set(cx, mode="drop")
-    ny = jnp.zeros((L, S), jnp.uint32).at[:, pos].set(cy, mode="drop")
-    nz = jnp.zeros((L, S), jnp.uint32).at[:, pos].set(cz, mode="drop")
-    return nk, nx, ny, nz, S
 
 
 def msm_tpu_jit(group, block: int = 512):

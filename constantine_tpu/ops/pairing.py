@@ -353,9 +353,12 @@ class BNPairing(PairingBase):
         assert ctx.params.family == "bn"
         u = ctx.params.x_param
         self.loop = 6 * u + 2
-        assert self.loop > 0, "negative 6u+2 not wired"
+        # negative ate parameter (e.g. BN254_Nogami): run the loop over
+        # |6u+2|, then f <- conj(f), T <- -T before the Frobenius add
+        # steps (miller_loops.nim negative-param handling)
+        self.loop_neg = self.loop < 0
         self.loop_bits = np.asarray(
-            [int(b) for b in bin(self.loop)[3:]], dtype=np.int32)
+            [int(b) for b in bin(abs(self.loop))[3:]], dtype=np.int32)
         p, r = ctx.p, ctx.r
         assert (p**4 - p**2 + 1) % r == 0
         self.hard_exp = (p**4 - p**2 + 1) // r
@@ -411,6 +414,10 @@ class BNPairing(PairingBase):
 
         (f, T), _ = jax.lax.scan(body, (f, T), jnp.asarray(self.loop_bits))
 
+        if self.loop_neg:
+            f = self.conj12(f)
+            T = (T[0], fp2.neg(T[1]), T[2])
+
         # Frobenius correction steps (miller_loops.nim BN :92 analogue)
         Q1 = self._pi((xQ, yQ))
         Q2 = self._pi2((xQ, yQ))
@@ -433,3 +440,67 @@ def get_pairing(curve_name: str = "BLS12_381"):
     from ..named.precompute import get_curve
     fam = get_curve(curve_name).params.family
     return BLSPairing(curve_name) if fam == "bls12" else BNPairing(curve_name)
+
+
+class MillerAccumulator:
+    """Streaming multi-pairing accumulator — API parity with the
+    reference's MillerAccumulator (pairings/miller_accumulators.nim:71-147):
+    ``update()`` queues (P, Q) pairs, ``handover()`` flushes the queue into
+    a running Miller product every `batch` pairs, ``finish()`` returns the
+    final-exponentiated product (or the raw Fp12 with final_exp=False).
+
+    On TPU the batching motivation inverts: the queued pairs run as ONE
+    batched Miller loop regardless of count, so `batch` only bounds peak
+    device memory (default 64 pairs per flush vs the reference's 8, which
+    was sized to CPU L1).
+    """
+
+    def __init__(self, pairing, batch: int = 64):
+        self.pairing = pairing
+        self.batch = batch
+        self._queue_p = []
+        self._queue_q = []
+        self._acc = None            # running Fp12 product (Miller only)
+
+    def update(self, p_aff, q_aff):
+        """Queue one or more (P, Q) affine pairs (leading batch axis)."""
+        self._queue_p.append(tuple(jnp.asarray(t) for t in p_aff))
+        self._queue_q.append(tuple(jnp.asarray(t) for t in q_aff))
+        n = sum(t[0].shape[0] for t in self._queue_p)
+        if n >= self.batch:
+            self.handover()
+
+    def handover(self):
+        """Flush queued pairs into the running Miller product."""
+        if not self._queue_p:
+            return
+        pa = tuple(jnp.concatenate([q[k] for q in self._queue_p], axis=0)
+                   for k in range(2))
+        qa = tuple(jnp.concatenate([q[k] for q in self._queue_q], axis=0)
+                   for k in range(2))
+        self._queue_p, self._queue_q = [], []
+        pr = self.pairing
+        pa, qa, skip, _ = pr._pad_pairs(pa, qa, None)
+        fs = pr.miller_loop(pa, qa)
+        fs = pr.fp12.cselect(skip, pr.fp12.broadcast_one(fs.shape[:-2]), fs)
+        while fs.shape[0] > 1:
+            h = fs.shape[0] // 2
+            head = pr.fp12.mul(fs[:h], fs[h:2 * h])
+            fs = (jnp.concatenate([head, fs[2 * h:]], axis=0)
+                  if fs.shape[0] % 2 else head)
+        f = fs[0]
+        self._acc = f if self._acc is None else pr.fp12.mul(self._acc, f)
+
+    def finish(self, final_exp: bool = True):
+        """Returns the accumulated product (after final exponentiation by
+        default). None if nothing was accumulated."""
+        self.handover()
+        if self._acc is None:
+            return None
+        return self.pairing.final_exp(self._acc) if final_exp else self._acc
+
+    def is_one(self):
+        """Accumulated pairing product == 1? (pairing-check finish)."""
+        gt = self.finish()
+        fp12 = self.pairing.fp12
+        return fp12.eq(gt, fp12.broadcast_one(()))

@@ -393,11 +393,14 @@ class PallasEC:
 
     # -- stream kernels -------------------------------------------------------
 
-    def flush_scan(self, keys, qx, qy, TB: int = None):
+    def flush_scan(self, keys, qx, qy, TB: int = None, packed: bool = False):
         """Bucket-accumulation flush scan over a key-sorted stream.
 
         keys: (K, M) int32 — lane m sweeps keys[:, m] sequentially.
-        qx, qy: (K, L, M) uint32 — matching affine points (pre-negated).
+        qx, qy: (K, L, M) uint32 — matching affine points (pre-negated) —
+        or, with packed=True, (K, L//2, M) with two 16-bit digits per u32
+        (digit 2i in the low half of row i); the kernel unpacks in VMEM,
+        halving the HBM read traffic of the dominant input stream.
         Returns (ekeys (K+1, M) int32, ex, ey, ez (K+1, L, M)):
         rows 0..K-1 are run-boundary emissions (key == -1 where no
         emission), row K holds each lane's final accumulator with its key.
@@ -409,6 +412,8 @@ class PallasEC:
         K, M0 = keys.shape
         M = M0
         L = self.L
+        Lin = L // 2 if packed else L
+        assert qx.shape[1] == Lin, (qx.shape, Lin)
         TB = TB or self.block
         npad = -M % TB
         if npad:
@@ -418,7 +423,15 @@ class PallasEC:
             M += npad
         keys = keys[:, None, :]                      # (K, 1, M) for tiling
 
-        ckey = ("flush", K, M, TB)
+        def unpack(v):
+            # (L//2, TB) packed -> (L, TB) 16-bit digit rows
+            rows = []
+            for i in range(Lin):
+                rows.append(v[i:i + 1, :] & MASK)
+                rows.append(v[i:i + 1, :] >> W)
+            return jnp.concatenate(rows, axis=0)
+
+        ckey = ("flush", K, M, TB, packed)
         if ckey not in self._cache:
             def kern(k_ref, x_ref, y_ref, c_ref, ek_ref, ex_ref, ey_ref,
                      ez_ref, fk_ref, fx_ref, fy_ref, fz_ref,
@@ -434,8 +447,8 @@ class PallasEC:
                     key_ref[:, :] = jnp.full((8, TB), -1, jnp.int32)
 
                 kk = k_ref[0, 0, :]
-                X2 = x_ref[0]
-                Y2 = y_ref[0]
+                X2 = unpack(x_ref[0]) if packed else x_ref[0]
+                Y2 = unpack(y_ref[0]) if packed else y_ref[0]
                 cur = key_ref[0, :]
                 same = kk == cur
                 # emit previous accumulator at run boundaries
@@ -460,6 +473,8 @@ class PallasEC:
             grid = (M // TB, K)
             kspec = pl.BlockSpec((1, 1, TB), lambda m, k: (k, 0, m),
                                  memory_space=pltpu.VMEM)
+            inspec = pl.BlockSpec((1, Lin, TB), lambda m, k: (k, 0, m),
+                                  memory_space=pltpu.VMEM)
             pspec = pl.BlockSpec((1, L, TB), lambda m, k: (k, 0, m),
                                  memory_space=pltpu.VMEM)
             fkspec = pl.BlockSpec((1, 1, TB), lambda m, k: (0, 0, m),
@@ -469,7 +484,7 @@ class PallasEC:
             fn = pl.pallas_call(
                 kern,
                 grid=grid,
-                in_specs=[kspec, pspec, pspec,
+                in_specs=[kspec, inspec, inspec,
                           pl.BlockSpec((2, L, 128), lambda m, k: (0, 0, 0),
                                        memory_space=pltpu.VMEM)],
                 out_specs=[kspec, pspec, pspec, pspec,
@@ -667,6 +682,68 @@ class PallasEC:
         sl = slice(0, C - npad if npad else C)
         return ((rx[0][:, sl], ry[0][:, sl], rz[0][:, sl]),
                 (wx[0][:, sl], wy[0][:, sl], wz[0][:, sl]))
+
+    def scaled_doubles(self, P, c: int, Wn: int):
+        """Lane-indexed doubling ladder: lane w of the (L, Wn) input becomes
+        2^(c*w) * P_w, via (Wn-1)*c serial in-kernel doubling steps, each
+        masked to the lanes still owing doublings (t < c*w). One kernel
+        launch replaces the per-window double_k/add chain of the MSM window
+        combine (the serial loop of ec_multi_scalar_mul.nim:350's final
+        combine), leaving only a log2(Wn) add-tree to the caller."""
+        X, Y, Z = P
+        Wn0 = X.shape[1]
+        assert Wn0 == Wn
+        steps = (Wn - 1) * c
+        if steps == 0:
+            return P
+        L = self.L
+        TB = max(128, -(-Wn // 128) * 128)
+        npad = TB - Wn
+        if npad:
+            X = jnp.pad(X, ((0, 0), (0, npad)))
+            Y = jnp.pad(Y, ((0, 0), (0, npad)))
+            Z = jnp.pad(Z, ((0, 0), (0, npad)))
+
+        ckey = ("scdbl", c, Wn, TB)
+        if ckey not in self._cache:
+            def kern(x_ref, y_ref, z_ref, c_ref, ox_ref, oy_ref, oz_ref,
+                     t_ref, st_ref):
+                t = pl.program_id(0)
+                kf = self._kf(c_ref, t_ref)
+
+                @pl.when(t == 0)
+                def _():
+                    st_ref[0] = x_ref[:, :]
+                    st_ref[1] = y_ref[:, :]
+                    st_ref[2] = z_ref[:, :]
+
+                lane = jax.lax.broadcasted_iota(jnp.int32, (1, TB), 1)[0]
+                live = t < lane * c
+                Xd, Yd, Zd = kf.ec_double(st_ref[0], st_ref[1], st_ref[2])
+                st_ref[0] = kf.sel(live, Xd, st_ref[0])
+                st_ref[1] = kf.sel(live, Yd, st_ref[1])
+                st_ref[2] = kf.sel(live, Zd, st_ref[2])
+                ox_ref[:, :] = st_ref[0]
+                oy_ref[:, :] = st_ref[1]
+                oz_ref[:, :] = st_ref[2]
+
+            spec = pl.BlockSpec((L, TB), lambda t: (0, 0),
+                                memory_space=pltpu.VMEM)
+            fn = pl.pallas_call(
+                kern,
+                grid=(steps,),
+                in_specs=[spec, spec, spec,
+                          pl.BlockSpec((2, L, 128), lambda t: (0, 0, 0),
+                                       memory_space=pltpu.VMEM)],
+                out_specs=[spec] * 3,
+                out_shape=[jax.ShapeDtypeStruct((L, TB), jnp.uint32)] * 3,
+                scratch_shapes=[pltpu.VMEM((2 * L + 1, TB), jnp.uint32),
+                                pltpu.VMEM((3, L, TB), jnp.uint32)],
+                interpret=_interpret(),
+            )
+            self._cache[ckey] = jax.jit(fn)
+        ox, oy, oz = self._cache[ckey](X, Y, Z, self._consts)
+        return ox[:, :Wn], oy[:, :Wn], oz[:, :Wn]
 
 
 _instances = {}

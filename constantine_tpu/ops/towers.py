@@ -276,22 +276,35 @@ def build_tower(curve_name: str):
     Fp = ctx.fp
     params = ctx.params
     nr = params.fp2_nonresidue
-    assert nr == -1, "only u^2 = -1 towers wired (BLS12-381 / BN254)"
 
-    fp2 = QuadraticExt(Fp, nonresidue_mul=Fp.neg, name=f"Fp2[{curve_name}]")
+    if nr == -1:
+        nr_mul = Fp.neg
+    else:
+        def nr_mul(x, _k=abs(nr), _neg=(nr < 0)):
+            y = Fp.mul_small(x, _k)
+            return Fp.neg(y) if _neg else y
+
+    fp2 = QuadraticExt(Fp, nonresidue_mul=nr_mul, name=f"Fp2[{curve_name}]")
 
     xi0, xi1 = params.fp6_nonresidue
 
-    def mul_by_xi(x):  # x in Fp2, xi = xi0 + xi1*u
+    def _small(a, k):
+        if k == 0:
+            return Fp.broadcast_zero(a.shape[:-1])
+        y = Fp.mul_small(a, abs(k))
+        return Fp.neg(y) if k < 0 else y
+
+    def mul_by_xi(x):  # x in Fp2, xi = xi0 + xi1*u, u^2 = nr
         a0 = x[..., 0, :]
         a1 = x[..., 1, :]
-        # (xi0 + xi1 u)(a0 + a1 u) = (xi0 a0 - xi1 a1) + (xi0 a1 + xi1 a0) u
-        if (xi0, xi1) == (1, 1):
+        # (xi0 + xi1 u)(a0 + a1 u)
+        #   = (xi0 a0 + nr xi1 a1) + (xi0 a1 + xi1 a0) u
+        if (xi0, xi1) == (1, 1) and nr == -1:
             c0 = Fp.sub(a0, a1)
             c1 = Fp.add(a0, a1)
         else:
-            c0 = Fp.sub(Fp.mul_small(a0, xi0), Fp.mul_small(a1, xi1))
-            c1 = Fp.add(Fp.mul_small(a1, xi0), Fp.mul_small(a0, xi1))
+            c0 = Fp.add(_small(a0, xi0), _small(a1, nr * xi1))
+            c1 = Fp.add(_small(a1, xi0), _small(a0, xi1))
         return jnp.stack([c0, c1], axis=-2)
 
     fp6 = CubicExt(fp2, nonresidue_mul=mul_by_xi, name=f"Fp6[{curve_name}]")

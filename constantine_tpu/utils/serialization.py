@@ -99,8 +99,14 @@ class BLS12381Codec:
 
     def g1_decompress(self, data, subgroup_check: bool = True):
         """data: bytes (N*48) or (N,48) uint8 array.
-        Returns ((x, y) Montgomery affine, inf_mask, valid_mask)."""
+        Returns ((x, y) Montgomery affine, inf_mask, valid_mask).
+        Raises ValueError on a wrong byte length — protocol callers check
+        lengths first and map them to a False/status result (the codec
+        analogue of cttCodecEcc_InvalidEncoding)."""
         if isinstance(data, (bytes, bytearray)):
+            if len(data) == 0 or len(data) % 48:
+                raise ValueError(f"G1 compressed encoding length {len(data)} "
+                                 "is not a multiple of 48")
             data = np.frombuffer(bytes(data), dtype=np.uint8).reshape(-1, 48)
         data = np.array(data, copy=True)
         flags = data[:, 0]
@@ -168,8 +174,12 @@ class BLS12381Codec:
 
     def g2_decompress(self, data, subgroup_check: bool = True):
         """data: bytes (N*96) or (N,96) uint8. x encoded as c1 || c0.
-        Returns ((x, y) Fp2 Montgomery affine (N,2,L), inf_mask, valid)."""
+        Returns ((x, y) Fp2 Montgomery affine (N,2,L), inf_mask, valid).
+        Raises ValueError on a wrong byte length (see g1_decompress)."""
         if isinstance(data, (bytes, bytearray)):
+            if len(data) == 0 or len(data) % 96:
+                raise ValueError(f"G2 compressed encoding length {len(data)} "
+                                 "is not a multiple of 96")
             data = np.frombuffer(bytes(data), dtype=np.uint8).reshape(-1, 96)
         data = np.array(data, copy=True)
         flags = data[:, 0]

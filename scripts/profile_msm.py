@@ -13,7 +13,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from constantine_tpu.named.precompute import get_curve
 from constantine_tpu.ops import limbs as lb
 from constantine_tpu.ops.msm import _signed_digits
-from constantine_tpu.ops.msm_tpu import (_cdiv, _rup, _neg_std, _compact,
+from constantine_tpu.ops.msm_tpu import (_cdiv, _rup, _neg_std, _pack16,
+                                         _compact_gather, _lane_tree_sum,
                                          best_window_tpu)
 from constantine_tpu.ops.pallas_ec import get_pallas_ec
 
@@ -27,7 +28,7 @@ def timeit(name, f, *args, reps=3):
         out = f(*args)
         jax.block_until_ready(out)
         ts.append(time.time() - t0)
-    print(f"{name:28s} {min(ts)*1e3:9.2f} ms")
+    print(f"{name:28s} {min(ts)*1e3:9.2f} ms", flush=True)
     return out
 
 
@@ -36,10 +37,8 @@ def main():
     ctx = get_curve("BLS12_381")
     F = ctx.fp
     L = F.L
-    group = ctx.g1
     rng = np.random.default_rng(42)
 
-    # fake points/scalars (values don't matter for perf)
     px = jnp.asarray(ctx.fp.encode([int(v) for v in rng.integers(1, 2**60, size=256)]))
     px = jnp.tile(px, (n // 256, 1))
     py = jnp.asarray(ctx.fp.encode([int(v) for v in rng.integers(1, 2**60, size=256)]))
@@ -53,13 +52,17 @@ def main():
     H = 1 << (c - 1)
     block = 512
     pec = get_pallas_ec(F, block)
-    print(f"N={n} c={c} W={W} H={H} flat={W*n}")
-
     flat = W * n
-    K = int(np.clip(round(flat / 49152), 8, 64))
-    M = _rup(_cdiv(flat, K), block)
+    K0 = max(8, _cdiv(n, 64))
+    M = _rup(_cdiv(flat, K0), block)
+    K = _cdiv(flat, M)
     pad = M * K - flat
-    print(f"K={K} M={M} pad={pad}")
+    nb = W * (H + 1)
+    K2 = 32
+    r = _cdiv(n, K) + 1
+    S = min(M * (K + 1), M + nb)
+    print(f"N={n} c={c} W={W} H={H} flat={flat} K={K} M={M} pad={pad} "
+          f"r={r} S={S}", flush=True)
 
     @jax.jit
     def stage_digits(scalars):
@@ -72,75 +75,54 @@ def main():
 
     keys, neg = timeit("digits+keys", stage_digits, scalars)
 
-    @jax.jit
-    def stage_sort(keys):
-        return jnp.argsort(keys)
-
     if pad:
         keys = jnp.concatenate([keys, jnp.zeros((pad,), keys.dtype)])
         neg = jnp.concatenate([neg, jnp.zeros((pad,), neg.dtype)])
-    order = timeit("argsort", stage_sort, keys)
+    order = timeit("argsort", jax.jit(jnp.argsort), keys)
+
+    Lh = L // 2
 
     @jax.jit
     def stage_gather(order, keys, neg, px, py):
         sk = keys[order]
         pidx = order % n
         sneg = neg[order]
-        gx = jnp.take(px, pidx, axis=0)
-        gy = jnp.take(py, pidx, axis=0)
-        gy = lb.cselect(sneg & (sk > 0), _neg_std(F, gy), gy)
-        sxT = gx.reshape(M, K, L).transpose(1, 2, 0)
-        syT = gy.reshape(M, K, L).transpose(1, 2, 0)
+        pxp = _pack16(px)
+        ytab = jnp.concatenate([_pack16(py), _pack16(_neg_std(F, py))], 0)
+        gx = jnp.take(pxp, pidx, axis=0)
+        gy = jnp.take(ytab, pidx + sneg.astype(jnp.int32) * n, axis=0)
+        sxT = gx.reshape(M, K, Lh).transpose(1, 2, 0)
+        syT = gy.reshape(M, K, Lh).transpose(1, 2, 0)
         skT = sk.reshape(M, K).T
         return skT, sxT, syT
 
-    skT, sxT, syT = timeit("gather+transpose", stage_gather,
+    skT, sxT, syT = timeit("gather+transpose (packed)", stage_gather,
                            order, keys, neg, px, py)
 
-    flush = jax.jit(pec.flush_scan)
+    flush = jax.jit(functools.partial(pec.flush_scan, packed=True))
     ekeys, ex, ey, ez = timeit("flush_scan", flush, skT, sxT, syT)
 
-    @jax.jit
-    def stage_rest(ekeys, ex, ey, ez):
-        ck = ekeys.T.reshape(-1)
-        cx = ex.transpose(2, 0, 1).reshape(M * (K + 1), L).T
-        cy = ey.transpose(2, 0, 1).reshape(M * (K + 1), L).T
-        cz = ez.transpose(2, 0, 1).reshape(M * (K + 1), L).T
-        return ck, cx, cy, cz
+    cg = jax.jit(functools.partial(_compact_gather, S=S))
+    ck, (cx, cy, cz) = timeit("compact+gather", cg, ekeys, [ex, ey, ez])
 
-    ck, cx, cy, cz = timeit("emission flatten", stage_rest, ekeys, ex, ey, ez)
+    def merge_round(ck, cx, cy, cz):
+        M2 = _rup(_cdiv(S, K2), 128)
+        pad2 = M2 * K2 - S
+        if pad2:
+            ck = jnp.concatenate([ck, jnp.zeros((pad2,), ck.dtype)])
+            cx = jnp.pad(cx, ((0, 0), (0, pad2)))
+            cy = jnp.pad(cy, ((0, 0), (0, pad2)))
+            cz = jnp.pad(cz, ((0, 0), (0, pad2)))
+        kT = ck.reshape(M2, K2).T
+        xT = cx.reshape(L, M2, K2).transpose(2, 0, 1)
+        yT = cy.reshape(L, M2, K2).transpose(2, 0, 1)
+        zT = cz.reshape(L, M2, K2).transpose(2, 0, 1)
+        ekeys, ex, ey, ez = pec.merge_scan(kT, xT, yT, zT)
+        S2 = min(M2 * (K2 + 1), M2 + nb)
+        return _compact_gather(ekeys, [ex, ey, ez], S2)
 
-    nb = W * (H + 1)
-    K2 = 32
-
-    def cascade(ck, cx, cy, cz):
-        r = M
-        S = min(M * (K + 1), M + nb)
-        while True:
-            ck, cx, cy, cz, S = _compact(ck, cx, cy, cz, S)
-            if r <= 4:
-                break
-            M2 = _rup(_cdiv(S, K2), 128)
-            pad2 = M2 * K2 - S
-            if pad2:
-                ck = jnp.concatenate([ck, jnp.zeros((pad2,), ck.dtype)])
-                cx = jnp.pad(cx, ((0, 0), (0, pad2)))
-                cy = jnp.pad(cy, ((0, 0), (0, pad2)))
-                cz = jnp.pad(cz, ((0, 0), (0, pad2)))
-            kT = ck.reshape(M2, K2).T
-            xT = cx.T.reshape(M2, K2, L).transpose(1, 2, 0)
-            yT = cy.T.reshape(M2, K2, L).transpose(1, 2, 0)
-            zT = cz.T.reshape(M2, K2, L).transpose(1, 2, 0)
-            ekeys, ex, ey, ez = pec.merge_scan(kT, xT, yT, zT)
-            ck = ekeys.T.reshape(-1)
-            cx = ex.transpose(2, 0, 1).reshape(M2 * (K2 + 1), L).T
-            cy = ey.transpose(2, 0, 1).reshape(M2 * (K2 + 1), L).T
-            cz = ez.transpose(2, 0, 1).reshape(M2 * (K2 + 1), L).T
-            r = _cdiv(r, K2) + 1
-            S = min(M2 * (K2 + 1), M2 + nb)
-        return ck, cx, cy, cz
-
-    ck, cx, cy, cz = timeit("merge cascade", jax.jit(cascade), ck, cx, cy, cz)
+    ck, (cx, cy, cz) = timeit("merge round (incl compact)",
+                              jax.jit(merge_round), ck, cx, cy, cz)
 
     @jax.jit
     def tree(ck, cx, cy, cz):
@@ -162,11 +144,9 @@ def main():
 
     timeit("tree rounds (2x add)", tree, ck, cx, cy, cz)
 
-    # bucket reduce + window combine timing (approx: reuse shapes)
     T = 1 << max(2, (c - 1) // 2)
     C = _cdiv(H, T)
     bx = jnp.zeros((T, L, W * C), jnp.uint32)
-    br = jax.jit(functools.partial(pec.bucket_reduce, T=T)) if False else None
 
     @jax.jit
     def bred(bx, by, bz):
@@ -176,14 +156,11 @@ def main():
 
     @jax.jit
     def combine(wsum):
-        total = tuple(v[:, W - 1:W] for v in wsum)
-        for w in range(W - 2, -1, -1):
-            total = pec.double_k(total, c)
-            total = pec.add(total, tuple(v[:, w:w + 1] for v in wsum))
-        return total
+        dws = pec.scaled_doubles(wsum, c, W)
+        return _lane_tree_sum(pec, dws, W)
 
     wsum = (jnp.zeros((L, W), jnp.uint32),) * 3
-    timeit("window combine", combine, wsum)
+    timeit("window combine (ladder)", combine, wsum)
 
 
 if __name__ == "__main__":

@@ -88,3 +88,39 @@ def test_multi_pairing_skip_mask(pr):
     gt = pr.multi_pairing(P, Q, skip_mask=skip)
     gt1 = pr.pairing((P[0][:1], P[1][:1]), (Q[0][:1], Q[1][:1]))
     assert (np.asarray(gt) == np.asarray(gt1)[0]).all()
+
+
+def test_miller_accumulator(pr):
+    """Streaming accumulator == one-shot multi_pairing over the same pairs
+    (reference: pairings/miller_accumulators.nim batch-of-8 semantics)."""
+    from constantine_tpu.ops.pairing import MillerAccumulator
+    ctx = pr.ctx
+    P = g1_points(ctx, [3, 7, 9])
+    Q = g2_points(ctx, pr.fp2, [11, 13, 2])
+    acc = MillerAccumulator(pr, batch=2)   # force a mid-stream handover
+    acc.update((P[0][:2], P[1][:2]), (Q[0][:2], Q[1][:2]))
+    acc.update((P[0][2:], P[1][2:]), (Q[0][2:], Q[1][2:]))
+    got = acc.finish()
+    want = pr.multi_pairing(P, Q)
+    assert (np.asarray(got) == np.asarray(want)).all()
+
+
+def test_miller_accumulator_is_one(pr):
+    ctx = pr.ctx
+    from constantine_tpu.ops.pairing import MillerAccumulator
+    xP, yP = g1_points(ctx, [4, 4])
+    yP = jnp.concatenate([yP[0:1], ctx.fp.neg(yP[1:2])], axis=0)
+    Q = g2_points(ctx, pr.fp2, [6, 6])
+    acc = MillerAccumulator(pr)
+    acc.update((xP, yP), Q)
+    assert bool(np.asarray(acc.is_one()))
+
+
+def test_lowlevel_facade():
+    """lowlevel re-exports resolve (reference lowlevel_*.nim parity)."""
+    from constantine_tpu import lowlevel as ll
+    assert ll.get_curve("BN254_Snarks").p.bit_length() == 254
+    assert callable(ll.msm) and callable(ll.get_pairing)
+    F = ll.get_field("BLS12_381.Fr")
+    one = F.encode([1])
+    assert F.decode(one) == [1]

@@ -4,8 +4,12 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline (BASELINE.md): reference MSM 2^16 = 51.28 ms on 16-thread Ryzen
 7840U (19.50 ops/s) — bench_ec_msm_bls12_381_g1.nim parity config.
 
-Env knobs: CTT_BENCH_N (default 65536), CTT_BENCH_REPS (default 3),
-CTT_BENCH_CPU=1 to force the CPU backend (debug).
+Env knobs:
+  CTT_BENCH_METRIC  msm (default) | ntt | pairing | eip4844_commit
+                    | eip4844_verify
+  CTT_BENCH_N       input size for msm/ntt (default 65536)
+  CTT_BENCH_REPS    timing repetitions (default 3)
+  CTT_BENCH_CPU=1   force the CPU backend (debug)
 """
 
 import json
@@ -20,21 +24,26 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main():
+def _time(f, reps):
     import jax
-    if os.environ.get("CTT_BENCH_CPU") == "1":
-        jax.config.update("jax_platforms", "cpu")
+    out = f()
+    jax.block_until_ready(out)
+    ts = []
+    for _ in range(reps):
+        t0 = time.time()
+        out = f()
+        jax.block_until_ready(out)
+        ts.append(time.time() - t0)
+    return min(ts)
+
+
+def bench_msm(n, reps):
+    import jax
     import jax.numpy as jnp
     from constantine_tpu.named.precompute import get_curve
     from constantine_tpu.ops.msm import msm_jit
 
-    n = int(os.environ.get("CTT_BENCH_N", 65536))
-    reps = int(os.environ.get("CTT_BENCH_REPS", 3))
-    log(f"devices: {jax.devices()}  N={n}")
-
     ctx = get_curve("BLS12_381")
-
-    # generate N pseudorandom points on-device: [k]G with 64-bit k, batched
     rng = np.random.default_rng(42)
     ks = jnp.asarray(ctx.scalars_to_limbs(
         [int(v) for v in rng.integers(1, 2**63, size=n)]))
@@ -46,7 +55,6 @@ def main():
     px.block_until_ready()
     log(f"point generation: {time.time()-t0:.1f}s")
 
-    # full-width random scalars: combine four 64-bit draws across limbs
     hi = rng.integers(0, 2**64, size=(n, 3), dtype=np.uint64)
     full = [int(a) | (int(b[0]) << 64) | (int(b[1]) << 128) | (int(b[2]) << 192)
             for a, b in zip(rng.integers(0, 2**64, size=n, dtype=np.uint64), hi)]
@@ -54,26 +62,114 @@ def main():
 
     f = msm_jit(ctx.g1)
     t0 = time.time()
-    res = f((px, py), scalars, scalar_bits=255)
-    jax.block_until_ready(res)
+    jax.block_until_ready(f((px, py), scalars, scalar_bits=255))
     log(f"compile+first run: {time.time()-t0:.1f}s")
-
-    times = []
-    for _ in range(reps):
-        t0 = time.time()
-        res = f((px, py), scalars, scalar_bits=255)
-        jax.block_until_ready(res)
-        times.append(time.time() - t0)
-    dt = min(times)
+    dt = _time(lambda: f((px, py), scalars, scalar_bits=255), reps)
     ops = 1.0 / dt
-    baseline_ops = 19.50 * (65536 / n)  # scale baseline if N overridden
+    baseline_ops = 19.50 * (65536 / n)
     log(f"msm({n}): {dt*1e3:.1f} ms  ({ops:.2f} ops/s)")
-    print(json.dumps({
-        "metric": f"bls12381_g1_msm_{n}",
-        "value": round(ops, 3),
-        "unit": "ops/s",
-        "vs_baseline": round(ops / baseline_ops, 3),
-    }))
+    return f"bls12381_g1_msm_{n}", ops, "ops/s", ops / baseline_ops
+
+
+def bench_ntt(n, reps):
+    import jax
+    import jax.numpy as jnp
+    from constantine_tpu.named.precompute import get_curve
+    from constantine_tpu.ops.ntt import get_domain
+
+    log_n = int(np.log2(n))
+    dom = get_domain("BLS12_381", log_n)
+    ctx = get_curve("BLS12_381")
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(ctx.fr.encode(
+        [int(v) for v in rng.integers(0, 2**62, size=n)]))
+    jax.block_until_ready(dom.ntt(x))
+    dt = _time(lambda: dom.ntt(x), reps)
+    ops = 1.0 / dt
+    # BASELINE.md: reference Fr NTT 2^16 not separately tabled; the FFT
+    # bench (bench_fft_fields.nim) runs ~6.7 ms serial at 2^16 on 7840U.
+    baseline_ops = (1.0 / 6.7e-3) * (65536 / n)
+    log(f"ntt({n}): {dt*1e3:.2f} ms")
+    return f"bls12381_fr_ntt_{n}", ops, "ops/s", ops / baseline_ops
+
+
+def bench_pairing(_n, reps):
+    import jax
+    import jax.numpy as jnp
+    from constantine_tpu.ops.pairing import get_pairing
+    from constantine_tpu.utils import refmath as rm
+
+    pr = get_pairing("BLS12_381")
+    ctx = pr.ctx
+    rng = np.random.default_rng(5)
+    B = 8  # multi-pairing batch (batched Miller is the TPU win)
+    ks = [int(k) for k in rng.integers(2, 2**60, size=B)]
+    g1 = [rm.ec_mul(k, ctx.g, 0, ctx.p) for k in ks]
+    px = jnp.asarray(ctx.fp.encode([p[0] for p in g1]))
+    py = jnp.asarray(ctx.fp.encode([p[1] for p in g1]))
+    nrr = ctx.params.fp2_nonresidue
+    g2 = [rm.ec2_mul(int(k), ctx.g2_aff, (0, 0), nrr, ctx.p)
+          for k in rng.integers(2, 2**60, size=B)]
+    qx = jnp.asarray(np.stack([pr.fp2.encode(list(q[0])) for q in g2]))
+    qy = jnp.asarray(np.stack([pr.fp2.encode(list(q[1])) for q in g2]))
+
+    f = jax.jit(pr.pairing)
+    jax.block_until_ready(f((px, py), (qx, qy)))
+    dt = _time(lambda: f((px, py), (qx, qy)), reps)
+    per = dt / B
+    ops = 1.0 / per
+    baseline_ops = 1.0 / 384.4e-6  # 7840U single pairing 384.4 us
+    log(f"pairing batch {B}: {dt*1e3:.2f} ms total, {per*1e6:.0f} us/pair")
+    return "bls12381_pairing_batch8", ops, "pairings/s", ops / baseline_ops
+
+
+def bench_eip4844(kind, reps):
+    import jax
+    from constantine_tpu.models import eip4844
+
+    rng = np.random.default_rng(3)
+    r = (52435875175126190479447740508185965837690552500527637822603658699938581184513)
+    blob = b"".join(
+        int(rng.integers(0, 2**62)).to_bytes(32, "big") for _ in range(4096))
+    t0 = time.time()
+    c = eip4844.blob_to_kzg_commitment(blob)
+    log(f"setup+first commit: {time.time()-t0:.1f}s")
+    if kind == "commit":
+        dt = _time(lambda: eip4844.blob_to_kzg_commitment(blob), reps)
+        ops = 1.0 / dt
+        log(f"blob_to_kzg_commitment: {dt*1e3:.2f} ms")
+        return "eip4844_blob_to_kzg_commitment", ops, "ops/s", ops / 226.7
+    z = (2**200 + 12345).to_bytes(32, "big")
+    proof, y = eip4844.compute_kzg_proof(blob, z)
+    dt = _time(lambda: eip4844.verify_kzg_proof(c, z, y, proof), reps)
+    ops = 1.0 / dt
+    log(f"verify_kzg_proof: {dt*1e3:.2f} ms")
+    return "eip4844_verify_kzg_proof", ops, "ops/s", ops / 1297.9
+
+
+def main():
+    import jax
+    if os.environ.get("CTT_BENCH_CPU") == "1":
+        jax.config.update("jax_platforms", "cpu")
+    metric = os.environ.get("CTT_BENCH_METRIC", "msm")
+    n = int(os.environ.get("CTT_BENCH_N", 65536))
+    reps = int(os.environ.get("CTT_BENCH_REPS", 3))
+    log(f"devices: {jax.devices()}  metric={metric} N={n}")
+
+    if metric == "msm":
+        name, val, unit, vs = bench_msm(n, reps)
+    elif metric == "ntt":
+        name, val, unit, vs = bench_ntt(n, reps)
+    elif metric == "pairing":
+        name, val, unit, vs = bench_pairing(n, reps)
+    elif metric == "eip4844_commit":
+        name, val, unit, vs = bench_eip4844("commit", reps)
+    elif metric == "eip4844_verify":
+        name, val, unit, vs = bench_eip4844("verify", reps)
+    else:
+        raise SystemExit(f"unknown CTT_BENCH_METRIC {metric}")
+    print(json.dumps({"metric": name, "value": round(val, 3), "unit": unit,
+                      "vs_baseline": round(vs, 3)}))
 
 
 if __name__ == "__main__":

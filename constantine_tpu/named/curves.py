@@ -155,8 +155,8 @@ BW6_761 = CurveParams(
     # effective G1 cofactor (bw6_761_subgroups.nim:27): multiplying by it
     # lands in the r-subgroup, which is all generator derivation needs
     cofactor=0xAD1972339049CE762C77D5AC34CB12EFC856A0853C9DB94CC61C554757551C0C832BA4061000003B3DE580000000007C,
-    family="plain",              # BW6 pairing machinery not yet built
-    x_param=0x8508C00000000001,
+    family="plain",              # pairing: ops/pairing_bw6.py (k=6 tower
+    x_param=0x8508C00000000001,  # built there; not the k=12 registry path)
 )
 
 # -- Pasta curves (Pallas / Vesta) --------------------------------------------

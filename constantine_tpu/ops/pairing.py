@@ -128,9 +128,42 @@ class PairingBase:
         return self.conj12(f)
 
     def cyclotomic_square(self, f):
-        """Plain Fp12 squaring for now; Karabina compressed squaring
-        (cyclotomic_subgroups.nim:218-744) is a planned optimization."""
-        return self.fp12.square(f)
+        """Granger-Scott 2009 cyclotomic squaring (~2x a full Fp12 square):
+        three disjoint Fp4 squarings + cheap linear recombination
+        (cyclotomic_square_quad_over_cube, cyclotomic_subgroups.nim:277-353).
+        Input MUST be unitary (in the cyclotomic subgroup — all call sites
+        are post-easy-part)."""
+        fp2 = self.fp2
+        b = [f[..., 2 * i:2 * i + 2, :] for i in range(6)]
+
+        def sq4(x, y):
+            # (x + yV)^2 in Fp4 = Fp2[V]/(V^2 - xi)
+            xx = fp2.square(x)
+            yy = fp2.square(y)
+            c0 = fp2.add(xx, fp2.mul_by_xi(yy))
+            c1 = fp2.sub(fp2.sub(fp2.square(fp2.add(x, y)), xx), yy)
+            return c0, c1
+
+        v0 = sq4(b[0], b[4])
+        v1 = sq4(b[3], b[2])
+        v2 = sq4(b[1], b[5])
+
+        def m32(v, bb):                       # 3v - 2bb
+            t = fp2.sub(v, bb)
+            return fp2.add(fp2.add(t, t), v)
+
+        def p32(v, bb):                       # 3v + 2bb
+            t = fp2.add(v, bb)
+            return fp2.add(fp2.add(t, t), v)
+
+        return jnp.concatenate([
+            m32(v0[0], b[0]),                 # b0 = 3v0.c0 - 2b0
+            m32(v1[0], b[1]),                 # b1 = 3v1.c0 - 2b1
+            m32(v2[0], b[2]),                 # b2 = 3v2.c0 - 2b2
+            p32(fp2.mul_by_xi(v2[1]), b[3]),  # b3 = 3 xi v2.c1 + 2b3
+            p32(v0[1], b[4]),                 # b4 = 3v0.c1 + 2b4
+            p32(v1[1], b[5]),                 # b5 = 3v1.c1 + 2b5
+        ], axis=-2)
 
     # ------------------------------------------------------------------
     # fused Miller steps
@@ -438,6 +471,9 @@ class BNPairing(PairingBase):
 @functools.lru_cache(maxsize=None)
 def get_pairing(curve_name: str = "BLS12_381"):
     from ..named.precompute import get_curve
+    if curve_name == "BW6_761":
+        from .pairing_bw6 import get_bw6_pairing
+        return get_bw6_pairing()
     fam = get_curve(curve_name).params.family
     return BLSPairing(curve_name) if fam == "bls12" else BNPairing(curve_name)
 

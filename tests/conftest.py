@@ -18,6 +18,21 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 
+# The XLA CPU compiler segfaults sporadically on very deep programs (large
+# multi-pairing jits) — consistent with LLVM blowing an 8 MB default thread
+# stack. Raise the stack rlimit BEFORE jax creates its compile threads
+# (pthread stacks inherit the rlimit at thread creation).
+import resource
+
+try:
+    soft, hard = resource.getrlimit(resource.RLIMIT_STACK)
+    want = 512 * 1024 * 1024
+    if soft != resource.RLIM_INFINITY and soft < want:
+        new_soft = want if hard == resource.RLIM_INFINITY else min(want, hard)
+        resource.setrlimit(resource.RLIMIT_STACK, (new_soft, hard))
+except (ValueError, OSError):
+    pass
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")

@@ -67,9 +67,11 @@ def _fr_mont_to_bytes(y_mont) -> bytes:
 
 
 def _point_to_bytes(kzg: KZG, P) -> bytes:
+    """Jacobian point -> 48 compressed bytes: ONE device dispatch
+    (kzg.export_g1) + host byte assembly."""
     codec = get_codec()
-    (x, y), inf = kzg.ctx.g1.to_affine(tuple(p[None] for p in P))
-    return codec.g1_compress((x, y), inf)
+    xc, big, inf = jax.device_get(kzg.export_g1(P))
+    return codec.g1_compress_canonical(xc, big, inf)
 
 
 # -- Fiat-Shamir --------------------------------------------------------------
@@ -100,8 +102,9 @@ def blob_to_kzg_commitment(blob: bytes, kzg: KZG = None):
     poly, ok = blob_to_polynomial(blob)
     if not ok:
         return None
-    C = kzg.commit(jnp.asarray(poly))
-    return _point_to_bytes(kzg, C)
+    codec = get_codec()
+    xc, big, inf = jax.device_get(kzg.commit_export(jnp.asarray(poly)))
+    return codec.g1_compress_canonical(xc, big, inf)
 
 
 def compute_kzg_proof(blob: bytes, z_bytes: bytes, kzg: KZG = None):
@@ -114,8 +117,11 @@ def compute_kzg_proof(blob: bytes, z_bytes: bytes, kzg: KZG = None):
     if not ok:
         return None
     evals_mont = kzg.fr.to_mont(jnp.asarray(poly))
-    proof, y = kzg.prove(evals_mont, z_mont)
-    return _point_to_bytes(kzg, proof), _fr_mont_to_bytes(y)
+    codec = get_codec()
+    xc, big, inf, y_canon = jax.device_get(
+        kzg.prove_export(evals_mont, z_mont))
+    return (codec.g1_compress_canonical(xc, big, inf),
+            lb.limbs_to_bytes_be(np.asarray(y_canon)[None], 32))
 
 
 def compute_blob_kzg_proof(blob: bytes, commitment_bytes: bytes,
@@ -129,8 +135,9 @@ def compute_blob_kzg_proof(blob: bytes, commitment_bytes: bytes,
         return None
     z = compute_challenge(blob, commitment_bytes)
     evals_mont = kzg.fr.to_mont(jnp.asarray(poly))
-    proof, _y = kzg.prove(evals_mont, z)
-    return _point_to_bytes(kzg, proof)
+    codec = get_codec()
+    xc, big, inf, _y = jax.device_get(kzg.prove_export(evals_mont, z))
+    return codec.g1_compress_canonical(xc, big, inf)
 
 
 def _validate_g1_bytes(data: bytes) -> bool:

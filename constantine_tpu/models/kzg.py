@@ -63,6 +63,29 @@ class KZG:
         self.eval_at = jax.jit(self.eval_at)
         self.compute_quotient = jax.jit(self.compute_quotient)
 
+        # Fused protocol exports: one jit dispatch from input limbs all the
+        # way to canonical affine output (+ y-sign + inf). The remote-TPU
+        # tunnel costs ~25 ms PER dispatch, so the commit/prove entry
+        # points must not scatter to_affine/from_mont across calls.
+        def _export_g1(P):
+            (x, y), inf = self.ctx.g1.to_affine(tuple(t[None] for t in P))
+            fp = self.ctx.fp
+            xc = fp.from_mont(x)
+            yc = fp.from_mont(y)
+            from ..ops import limbs as lb
+            half = jnp.asarray(lb.int_to_limbs((fp.p_int + 1) // 2, fp.L))
+            big = lb.geq(yc, half)
+            return xc, big, inf
+
+        self.export_g1 = jax.jit(_export_g1)
+        self.commit_export = jax.jit(lambda ev: _export_g1(self.commit(ev)))
+
+        def _prove_export(evals_mont, z_mont):
+            proof, y = self.prove(evals_mont, z_mont)
+            return _export_g1(proof) + (self.fr.from_mont(y),)
+
+        self.prove_export = jax.jit(_prove_export)
+
     def _msm_srs(self, scalars_canonical):
         """MSM over the Lagrange SRS: precomputed fixed-base path when
         enabled, plain Pippenger otherwise."""

@@ -137,6 +137,25 @@ class BLS12381Codec:
         r_limbs = jnp.asarray(np.tile(lb.int_to_limbs(ctx.r, ctx.fr.L), (n, 1)))
         return ctx.g1.is_inf(ctx.g1.scalar_mul(r_limbs, P))
 
+    def g1_compress_canonical(self, x_canon, y_big, inf_mask=None) -> bytes:
+        """Host-side byte assembly from precomputed canonical x limbs and
+        the y-sign mask — lets protocol entry points export everything from
+        the device in ONE fused jit dispatch (the remote-TPU tunnel charges
+        ~25 ms per dispatch, so per-call op count dominates small-point
+        serialization)."""
+        xc = np.asarray(x_canon)
+        big = np.asarray(y_big)
+        n = xc.shape[0]
+        out = np.frombuffer(lb.limbs_to_bytes_be(xc, 48), dtype=np.uint8)
+        out = np.array(out.reshape(n, 48), copy=True)
+        inf = (np.asarray(inf_mask) if inf_mask is not None
+               else np.zeros(n, dtype=bool))
+        out[inf] = 0
+        out[:, 0] |= 0x80
+        out[inf, 0] |= 0x40
+        out[~inf & big, 0] |= 0x20
+        return out.tobytes()
+
     def g1_compress(self, xy, inf_mask=None) -> bytes:
         """Montgomery affine (x, y) (+ inf mask) -> (N*48) bytes."""
         fp = self.fp

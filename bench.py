@@ -24,16 +24,27 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def _time(f, reps):
+def _time(f, reps, pipeline: int = 8):
+    """Per-op time with `pipeline` async dispatches per measurement.
+
+    On this setup the TPU sits behind a tunnel with ~24 ms RTT per
+    synchronous round trip; queueing K dispatches before blocking measures
+    device throughput (the quantity the reference's ops/s numbers report)
+    instead of link latency. Single-op latency is also logged.
+    """
     import jax
     out = f()
     jax.block_until_ready(out)
+    t0 = time.time()
+    jax.block_until_ready(f())
+    log(f"single-dispatch latency (incl link RTT): {(time.time()-t0)*1e3:.1f} ms")
     ts = []
     for _ in range(reps):
         t0 = time.time()
-        out = f()
+        for _ in range(pipeline):
+            out = f()
         jax.block_until_ready(out)
-        ts.append(time.time() - t0)
+        ts.append((time.time() - t0) / pipeline)
     return min(ts)
 
 
@@ -134,6 +145,16 @@ def bench_eip4844(kind, reps):
     t0 = time.time()
     c = eip4844.blob_to_kzg_commitment(blob)
     log(f"setup+first commit: {time.time()-t0:.1f}s")
+    if kind == "commit_batch":
+        B = int(os.environ.get("CTT_BENCH_B", 16))
+        blobs = [b"".join(int(v).to_bytes(32, "big")
+                          for v in rng.integers(0, 2**62, size=4096))
+                 for _ in range(B)]
+        dt = _time(lambda: eip4844.blob_to_kzg_commitment_batch(blobs),
+                   reps, pipeline=1) / B
+        ops = 1.0 / dt
+        log(f"blob_to_kzg_commitment batch {B}: {dt*1e3:.2f} ms/blob")
+        return (f"eip4844_commit_batch{B}", ops, "blobs/s", ops / 226.7)
     if kind == "commit":
         dt = _time(lambda: eip4844.blob_to_kzg_commitment(blob), reps)
         ops = 1.0 / dt
@@ -164,6 +185,8 @@ def main():
         name, val, unit, vs = bench_pairing(n, reps)
     elif metric == "eip4844_commit":
         name, val, unit, vs = bench_eip4844("commit", reps)
+    elif metric == "eip4844_commit_batch":
+        name, val, unit, vs = bench_eip4844("commit_batch", reps)
     elif metric == "eip4844_verify":
         name, val, unit, vs = bench_eip4844("verify", reps)
     else:

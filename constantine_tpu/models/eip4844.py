@@ -67,10 +67,10 @@ def _fr_mont_to_bytes(y_mont) -> bytes:
 
 
 def _point_to_bytes(kzg: KZG, P) -> bytes:
-    """Jacobian point -> 48 compressed bytes: ONE device dispatch
-    (kzg.export_g1) + host byte assembly."""
+    """Jacobian point -> 48 compressed bytes: ONE device dispatch + ONE
+    device_get (kzg.export_g1 packs everything) + host byte assembly."""
     codec = get_codec()
-    xc, big, inf = jax.device_get(kzg.export_g1(P))
+    xc, big, inf = KZG.unpack_export(jax.device_get(kzg.export_g1(P)))
     return codec.g1_compress_canonical(xc, big, inf)
 
 
@@ -103,8 +103,31 @@ def blob_to_kzg_commitment(blob: bytes, kzg: KZG = None):
     if not ok:
         return None
     codec = get_codec()
-    xc, big, inf = jax.device_get(kzg.commit_export(jnp.asarray(poly)))
+    xc, big, inf = KZG.unpack_export(
+        jax.device_get(kzg.commit_export(jnp.asarray(poly))))
     return codec.g1_compress_canonical(xc, big, inf)
+
+
+def blob_to_kzg_commitment_batch(blobs, kzg: KZG = None):
+    """Batched commit: B blobs -> B 48-byte commitments in ONE device
+    round trip (parallel-variant parity, ethereum_eip4844_kzg_parallel.nim:
+    125 blob_to_kzg_commitment_parallel). Returns None on any invalid
+    blob."""
+    kzg = kzg or get_kzg()
+    polys = []
+    for blob in blobs:
+        poly, ok = blob_to_polynomial(blob)
+        if not ok:
+            return None
+        polys.append(poly)
+    if not polys:
+        return []
+    codec = get_codec()
+    packed = jax.device_get(
+        kzg.commit_batch_export(jnp.asarray(np.stack(polys))))
+    xc, big, inf = KZG.unpack_export(packed)
+    out = codec.g1_compress_canonical(xc, big, inf)
+    return [out[i * 48:(i + 1) * 48] for i in range(len(blobs))]
 
 
 def compute_kzg_proof(blob: bytes, z_bytes: bytes, kzg: KZG = None):
@@ -118,8 +141,9 @@ def compute_kzg_proof(blob: bytes, z_bytes: bytes, kzg: KZG = None):
         return None
     evals_mont = kzg.fr.to_mont(jnp.asarray(poly))
     codec = get_codec()
-    xc, big, inf, y_canon = jax.device_get(
-        kzg.prove_export(evals_mont, z_mont))
+    packed = jax.device_get(kzg.prove_export(evals_mont, z_mont))
+    xc, big, inf = KZG.unpack_export(packed[:1])
+    y_canon = packed[1, :kzg.fr.L]
     return (codec.g1_compress_canonical(xc, big, inf),
             lb.limbs_to_bytes_be(np.asarray(y_canon)[None], 32))
 
@@ -136,7 +160,8 @@ def compute_blob_kzg_proof(blob: bytes, commitment_bytes: bytes,
     z = compute_challenge(blob, commitment_bytes)
     evals_mont = kzg.fr.to_mont(jnp.asarray(poly))
     codec = get_codec()
-    xc, big, inf, _y = jax.device_get(kzg.prove_export(evals_mont, z))
+    packed = jax.device_get(kzg.prove_export(evals_mont, z))
+    xc, big, inf = KZG.unpack_export(packed[:1])
     return codec.g1_compress_canonical(xc, big, inf)
 
 

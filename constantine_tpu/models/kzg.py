@@ -68,6 +68,8 @@ class KZG:
         # tunnel costs ~25 ms PER dispatch, so the commit/prove entry
         # points must not scatter to_affine/from_mont across calls.
         def _export_g1(P):
+            # ONE packed (N, L+2) u32 output: [x_canon | y_is_big | inf] —
+            # a single device_get (each fetched leaf pays a full link RTT).
             (x, y), inf = self.ctx.g1.to_affine(tuple(t[None] for t in P))
             fp = self.ctx.fp
             xc = fp.from_mont(x)
@@ -75,16 +77,53 @@ class KZG:
             from ..ops import limbs as lb
             half = jnp.asarray(lb.int_to_limbs((fp.p_int + 1) // 2, fp.L))
             big = lb.geq(yc, half)
-            return xc, big, inf
+            return jnp.concatenate(
+                [xc, big[..., None].astype(jnp.uint32),
+                 inf[..., None].astype(jnp.uint32)], axis=-1)
 
         self.export_g1 = jax.jit(_export_g1)
         self.commit_export = jax.jit(lambda ev: _export_g1(self.commit(ev)))
 
         def _prove_export(evals_mont, z_mont):
             proof, y = self.prove(evals_mont, z_mont)
-            return _export_g1(proof) + (self.fr.from_mont(y),)
+            yc = self.fr.from_mont(y)
+            g1p = _export_g1(proof)                       # (1, L+2)
+            pad = g1p.shape[-1] - yc.shape[-1]
+            return jnp.concatenate(
+                [g1p, jnp.pad(yc[None], ((0, 0), (0, pad)))], axis=0)
 
         self.prove_export = jax.jit(_prove_export)
+
+        def _commit_batch_export(polys):
+            # (B, N, L) canonical evals -> (B, L+2) packed canonical affine.
+            # One bucket pipeline for ALL blobs (PrecomputedMSM.batch rides
+            # the window axis) — per-blob parallel commit, the reference's
+            # ethereum_eip4844_kzg_parallel.nim:125 analogue.
+            B = polys.shape[0]
+            if self._pm is not None:
+                P = self._pm.batch(polys)
+            else:
+                outs = [self.commit(polys[i]) for i in range(B)]
+                P = tuple(jnp.stack([o[k] for o in outs]) for k in range(3))
+            (x, y), inf = self.ctx.g1.to_affine(P)
+            fp = self.ctx.fp
+            xc = fp.from_mont(x)
+            yc = fp.from_mont(y)
+            from ..ops import limbs as lb
+            half = jnp.asarray(lb.int_to_limbs((fp.p_int + 1) // 2, fp.L))
+            big = lb.geq(yc, half)
+            return jnp.concatenate(
+                [xc, big[..., None].astype(jnp.uint32),
+                 inf[..., None].astype(jnp.uint32)], axis=-1)
+
+        self.commit_batch_export = jax.jit(_commit_batch_export)
+
+    @staticmethod
+    def unpack_export(packed):
+        """(N, L+2) packed export -> (x_canon, y_big, inf) numpy views."""
+        import numpy as _np
+        arr = _np.asarray(packed)
+        return arr[:, :-2], arr[:, -2].astype(bool), arr[:, -1].astype(bool)
 
     def _msm_srs(self, scalars_canonical):
         """MSM over the Lagrange SRS: precomputed fixed-base path when

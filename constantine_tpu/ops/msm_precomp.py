@@ -96,3 +96,30 @@ class PrecomputedMSM:
         flat = digits.reshape(1, -1)                          # 1 window, W·N
         return msm(g, self._tables, None, c=self.c, digits=flat,
                    use_pallas=use_pallas)
+
+    def batch(self, scalars):
+        """B independent fixed-base MSMs in ONE bucket pipeline.
+
+        scalars: (B, N, Ls) canonical limbs -> Jacobian points (B, L) per
+        coordinate. The B digit rows ride the pipeline's window axis with
+        combine=False (per-row sums ARE the results) — the TPU analogue of
+        the reference's per-blob parallel commit fan-out
+        (ethereum_eip4844_kzg_parallel.nim:125).
+        """
+        import jax
+        import os
+        from .msm import _signed_digits
+        B = scalars.shape[0]
+        pallas_ok = (jax.default_backend() != "cpu"
+                     or os.environ.get("CTT_MSM_PALLAS") == "1") \
+            and not hasattr(self.F, "deg") and self.group.a_int == 0
+        if not pallas_ok:
+            # XLA fallback (CPU tests): one pipeline per row
+            outs = [self(scalars[i]) for i in range(B)]
+            return tuple(jnp.stack([o[k] for o in outs]) for k in range(3))
+        from .msm_tpu import msm_tpu
+        dig = jax.vmap(_signed_digits, in_axes=(0, None, None))(
+            scalars, self.c, self.W)                  # (B, W, N)
+        dig = dig.reshape(B, -1)                      # rows over the table
+        return msm_tpu(self.group, self._tables, None, c=self.c,
+                       digits=dig, combine=False)

@@ -111,10 +111,16 @@ def _lane_tree_sum(pec, P, n):
 
 
 def msm_tpu(group, points_aff, scalars, c: int = None,
-            scalar_bits: int = None, block: int = 512, digits=None):
+            scalar_bits: int = None, block: int = 512, digits=None,
+            combine: bool = True):
     """MSM over the Pallas kernel path. Same contract as ops.msm.msm:
     returns a Jacobian point tuple with batch shape () in standard (.., L)
-    layout. G1 over Fp only (tower fields fall back to the XLA path)."""
+    layout. G1 over Fp only (tower fields fall back to the XLA path).
+
+    combine=False returns the per-window Jacobian sums as standard-layout
+    (W, L) coordinates WITHOUT the 2^(c*w) scaling/combine — used by the
+    fixed-base batch path where the leading digit axis indexes independent
+    MSMs over a shared table (one result per row) rather than windows."""
     F = group.F
     pec = get_pallas_ec(F, block)
     L = F.L
@@ -262,6 +268,10 @@ def msm_tpu(group, points_aff, scalars, c: int = None,
     tA = pec.double_k((a2X, a2Y, a2Z), logT)           # (L, W)
     t1 = pec.add(tA, (s2X, s2Y, s2Z))
     wsum = pec.add(t1, (r2X, r2Y, r2Z))                # (L, W) window sums
+
+    if not combine:
+        # independent-MSM rows: return per-row sums, standard layout (W, L)
+        return tuple(v.T for v in wsum)
 
     # ---- window combine: one masked-doubling ladder + lane add-tree --------
     dws = pec.scaled_doubles(wsum, c, W)               # lane w = 2^(cw)*S_w

@@ -16,7 +16,14 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+    flags += " --xla_force_host_platform_device_count=8"
+if "parallel_codegen" not in flags:
+    # The XLA CPU backend's parallel LLVM codegen (default split count 32)
+    # segfaults sporadically on very large modules (pairing programs) on
+    # this 2-CPU box; serialize codegen — compile time cost is minor
+    # relative to the lost 30-minute suite runs.
+    flags += " --xla_cpu_parallel_codegen_split_count=1"
+os.environ["XLA_FLAGS"] = flags
 
 # The XLA CPU compiler segfaults sporadically on very deep programs (large
 # multi-pairing jits) — consistent with LLVM blowing an 8 MB default thread
@@ -36,3 +43,11 @@ except (ValueError, OSError):
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Schedule the heaviest-compile files last: the XLA CPU compiler's
+    sporadic segfault (large multi-pairing programs) kills an xdist
+    worker's remaining queue, so keep nothing queued behind the risk."""
+    risky = ("test_bls_spec_vectors",)
+    items.sort(key=lambda it: any(r in it.nodeid for r in risky))

@@ -125,3 +125,19 @@ def test_verify_blob_kzg_proof_batch_vectors():
             [hx(c) for c in inp["commitments"]],
             [hx(p) for p in inp["proofs"]])
         assert got == expected, name
+
+
+def test_commit_batch_matches_single():
+    """Batched commit == per-blob commits (parallel-variant parity)."""
+    import numpy as np
+    from constantine_tpu.models.eip4844 import (
+        blob_to_kzg_commitment, blob_to_kzg_commitment_batch)
+    rng = np.random.default_rng(5)
+    blobs = [b"".join(int(v).to_bytes(32, "big")
+                      for v in rng.integers(0, 2**62, size=4096))
+             for _ in range(3)]
+    singles = [blob_to_kzg_commitment(b) for b in blobs]
+    batch = blob_to_kzg_commitment_batch(blobs)
+    assert batch == singles
+    assert blob_to_kzg_commitment_batch([]) == []
+    assert blob_to_kzg_commitment_batch([blobs[0], b"xx"]) is None

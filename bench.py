@@ -77,7 +77,12 @@ def bench_msm(n, reps):
     log(f"compile+first run: {time.time()-t0:.1f}s")
     dt = _time(lambda: f((px, py), scalars, scalar_bits=255), reps)
     ops = 1.0 / dt
-    baseline_ops = 19.50 * (65536 / n)
+    # Reference 16-thread MSM wall times (BASELINE.md, 7840U, ms); linear
+    # extrapolation from 2^16 elsewhere (conservative: the reference scales
+    # sublinearly per point, so the fake baseline is faster than reality).
+    msm_baseline_ms = {32768: 25.01, 65536: 51.28,
+                      131072: 88.71, 262144: 162.14}
+    baseline_ops = 1000.0 / msm_baseline_ms.get(n, 51.28 * n / 65536)
     log(f"msm({n}): {dt*1e3:.1f} ms  ({ops:.2f} ops/s)")
     return f"bls12381_g1_msm_{n}", ops, "ops/s", ops / baseline_ops
 

@@ -53,25 +53,43 @@ def best_window_size(n: int, bits: int = 255) -> int:
 
 def _signed_digits(scalars, c: int, n_windows: int):
     """(N, Ls) canonical 16-bit limbs -> (W, N) int32 signed digits in
-    [-2^(c-1), 2^(c-1)]. Bucket id = |digit|, sign separate."""
+    [-2^(c-1), 2^(c-1)]. Bucket id = |digit|, sign separate.
+
+    Fully vectorized over windows: raw c-bit windows are extracted for all
+    W at once (static limb gathers + per-row shifts), and the signed-digit
+    carry chain (carry_w = g_w | (p_w & carry_{w-1}) with g = raw > half,
+    p = raw == half) is resolved with a log-depth Kogge-Stone scan instead
+    of a W-step serial loop."""
     N, Ls = scalars.shape
     half = 1 << (c - 1)
     full = 1 << c
-    digits = []
-    carry = jnp.zeros((N,), jnp.int32)
-    for w in range(n_windows):
-        bit0 = w * c
-        limb_idx = bit0 // 16
-        sh = bit0 % 16
-        lo = scalars[:, limb_idx].astype(jnp.uint32) if limb_idx < Ls else jnp.zeros((N,), jnp.uint32)
-        hi = scalars[:, limb_idx + 1].astype(jnp.uint32) if limb_idx + 1 < Ls else jnp.zeros((N,), jnp.uint32)
-        raw = (((lo >> sh) | (hi << (16 - sh))) if sh else lo) & (full - 1)
-        d = raw.astype(jnp.int32) + carry
-        ge = d > half
-        d = jnp.where(ge, d - full, d)
-        carry = ge.astype(jnp.int32)
-        digits.append(d)
-    return jnp.stack(digits, axis=0)
+    sT = scalars.T.astype(jnp.uint32)                    # (Ls, N)
+    bit0 = np.arange(n_windows) * c
+    li = np.minimum(bit0 // 16, Ls - 1)
+    sh = jnp.asarray((bit0 % 16).astype(np.uint32))[:, None]
+    valid_lo = (bit0 // 16) < Ls
+    lo = jnp.where(jnp.asarray(valid_lo)[:, None], sT[li], 0)
+    li1 = np.minimum(bit0 // 16 + 1, Ls - 1)
+    valid_hi = (bit0 // 16 + 1) < Ls
+    hi = jnp.where(jnp.asarray(valid_hi)[:, None], sT[li1], 0)
+    raw = jnp.where(sh > 0, (lo >> sh) | (hi << (16 - sh)), lo) \
+        & np.uint32(full - 1)                            # (W, N)
+    g = raw > half                                       # generates carry
+    p = raw == half                                      # propagates carry
+    carry = g
+    s = 1
+    while s < n_windows:
+        shifted = jnp.concatenate(
+            [jnp.zeros((s, N), jnp.bool_), carry[:-s]], axis=0)
+        pacc = jnp.concatenate(
+            [jnp.zeros((s, N), jnp.bool_), p[:-s]], axis=0)
+        carry = carry | (p & shifted)
+        p = p & pacc
+        s *= 2
+    carry_in = jnp.concatenate(
+        [jnp.zeros((1, N), jnp.bool_), carry[:-1]], axis=0)
+    return (raw.astype(jnp.int32) + carry_in.astype(jnp.int32)
+            - jnp.int32(full) * carry.astype(jnp.int32))
 
 
 def _masked_roll(group, vals, s, up: bool):

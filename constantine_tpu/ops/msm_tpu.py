@@ -53,6 +53,9 @@ def _rup(a, m):
     return _cdiv(a, m) * m
 
 
+_rupn = _rup
+
+
 def best_window_tpu(n: int, bits: int = 255) -> int:
     """Balance flush madds (W*N) against bucket-side adds (~5*W*2^(c-1))."""
     best, bestcost = 8, float("inf")
@@ -110,6 +113,95 @@ def _lane_tree_sum(pec, P, n):
     return X, Y, Z
 
 
+def _unpack16_rows(a):
+    """(Lh, m) packed -> (L, m) interleaved 16-bit digit rows."""
+    Lh, m = a.shape
+    lo = a & jnp.uint32(0xFFFF)
+    hi = a >> jnp.uint32(16)
+    return jnp.stack([lo, hi], axis=1).reshape(2 * Lh, m)
+
+
+def _affine_accumulate(pa, sk, st, nb, flat_pad, n_rounds: int = 5):
+    """Affine pair-merge bucket accumulation over a key-sorted stream.
+
+    sk: (flat_pad,) int32 sorted keys (0 = zero-digit/padding);
+    st: (L, flat_pad) packed [x||y] gathered signed points.
+    Runs `n_rounds` rounds of adjacent pair merging with batched-inverse
+    affine additions (~6 Montgomery muls per consumed entry vs ~11 for the
+    Jacobian flush madd), then hands survivors (per-bucket count halved
+    n_rounds times) to the Jacobian merge/tree tail.
+
+    Returns (ck (S,), cx, cy, cz (L, S)) Jacobian survivors, key-sorted.
+    """
+    L = pa.L
+    CH, TB = 32, pa.block
+    unit = CH * TB
+    m = flat_pad
+    keys = jnp.where(sk > 0, sk, -1)
+    inf = jnp.zeros((m,), jnp.int32)
+    # rank within run: i - position of run start
+    iota = jnp.arange(m, dtype=jnp.int32)
+    start = jnp.concatenate([jnp.ones((1,), jnp.bool_),
+                             keys[1:] != keys[:-1]])
+    spos = jax.lax.associative_scan(jnp.maximum,
+                                    jnp.where(start, iota, -1))
+    rank = iota - spos
+
+    for _ in range(n_rounds):
+        m_next = max(_rupn(m // 2 + nb + 64, unit), unit)
+        lhs = (rank & 1) == 0
+        # mega-array [st ; st>>1 ; keys,rank,inf ; keys>>1,inf>>1] so the
+        # compaction needs only ONE gather (per-index cost dominates and is
+        # width-independent on this hardware)
+        stn = jnp.concatenate([st[:, 1:], st[:, :1]], axis=1)
+        auxu = jnp.stack([keys, rank, inf]).astype(jnp.uint32)
+        auxn = jnp.concatenate(
+            [auxu[(0, 2), 1:],
+             jnp.asarray([[np.uint32(2**32 - 2)], [0]], jnp.uint32)],
+            axis=1)
+        mega = jnp.concatenate([st, stn, auxu, auxn], axis=0)  # (2L+5, m)
+        kidx = jnp.argsort(jnp.where(lhs, 0, 1), stable=True)[:m_next]
+        cnt = jnp.sum(lhs.astype(jnp.int32))
+        j = jnp.arange(m_next, dtype=jnp.int32)
+        valid = j < cnt
+        gidx = jnp.where(valid, kidx, m - 1)
+        gm = jnp.take(mega, gidx, axis=1)              # (2L+5, m_next)
+        ls, ps = gm[:L], gm[L:2 * L]
+        keys_l = gm[2 * L].astype(jnp.int32)
+        rank_l = gm[2 * L + 1].astype(jnp.int32)
+        inf_l = gm[2 * L + 2].astype(jnp.int32)
+        keys_p = gm[2 * L + 3].astype(jnp.int32)
+        inf_p = gm[2 * L + 4].astype(jnp.int32)
+        paired = (keys_l == keys_p)
+        meta = (paired.astype(jnp.int32) | (inf_l << 1) | (inf_p << 2)
+                | jnp.where(valid, 0, 8)).astype(jnp.int32)[None]
+        dpack, case = pa.pair_d(ls, ps, meta)
+        Mw = m_next // CH
+        dC = dpack.reshape(pa.Lh, CH, Mw).transpose(1, 0, 2)
+        pe, bp = pa.chain_fwd(dC)
+        bpinv = pa.batch_inv_packed(bp)
+        stC = ls.reshape(L, CH, Mw).transpose(1, 0, 2)
+        spC = ps.reshape(L, CH, Mw).transpose(1, 0, 2)
+        caseC = case.reshape(1, CH, Mw).transpose(1, 0, 2)
+        st3C, infC = pa.chain_bwd_apply(pe, dC, bpinv, stC, spC, caseC)
+        st = st3C.transpose(1, 0, 2).reshape(L, m_next)
+        inf = infC.transpose(1, 0, 2).reshape(m_next)
+        keys = jnp.where(valid, keys_l, -1)
+        rank = rank_l >> 1
+        m = m_next
+
+    # survivors -> Jacobian planar coords for the merge/tree tail
+    Lh = pa.Lh
+    cx = _unpack16_rows(st[:Lh])
+    cy = _unpack16_rows(st[Lh:])
+    alive = (keys > 0) & (inf == 0)
+    one_col = jnp.asarray(np.asarray(pa.pec._consts[1, :, 0], np.uint32))
+    cz = jnp.where(alive[None, :], one_col[:, None],
+                   jnp.zeros((L, 1), jnp.uint32))
+    ck = jnp.where(keys > 0, keys, 0)
+    return ck, cx, cy, cz
+
+
 def msm_tpu(group, points_aff, scalars, c: int = None,
             scalar_bits: int = None, block: int = 512, digits=None,
             combine: bool = True):
@@ -161,17 +253,69 @@ def msm_tpu(group, points_aff, scalars, c: int = None,
     pidx = order % N                                   # point index
     sneg = neg[order]
 
-    # gather the point stream packed (2 digits/u32), negation via a doubled
-    # [y, -y] table — the selected row is already the signed point.
+    import os
+    nb = W * (H + 1)
+    use_affine = (L % 2 == 0) \
+        and os.environ.get("CTT_MSM_AFFINE", "1") != "0"
+
+    # gather the point stream packed (2 digits/u32) as ONE wide row-gather:
+    # gather cost on this hardware is per-index, independent of row width,
+    # so a fused [x || y] / [x || -y] table (2N, L) halves gather time vs
+    # separate x and y gathers, and negation selection is free (row offset).
     packed = (L % 2 == 0)
+    if use_affine:
+        from .pallas_ec import get_pallas_affine
+        pa = get_pallas_affine(F, block)
+        Lh = L // 2
+        pxp = _pack16(px)
+        ptab = jnp.concatenate([
+            jnp.concatenate([pxp, _pack16(py)], axis=1),
+            jnp.concatenate([pxp, _pack16(_neg_std(F, py))], axis=1)],
+            axis=0)                                    # (2N, L)
+        unit = 32 * block
+        flat_pad = max(_rupn(M * K, unit), unit)
+        apad = flat_pad - M * K
+        sk_s = sk
+        gi = pidx + sneg.astype(jnp.int32) * N
+        if apad:
+            sk_s = jnp.concatenate(
+                [sk_s, jnp.zeros((apad,), jnp.int32)])
+            gi = jnp.concatenate([gi, jnp.zeros((apad,), jnp.int32)])
+        g = jnp.take(ptab, gi, axis=0)                 # (flat_pad, L)
+        st = g.T                                       # (L, flat_pad)
+        ck, cx, cy, cz = _affine_accumulate(pa, sk_s, st, nb, flat_pad)
+        S = ck.shape[0]
+        r = max(1, _cdiv(N, 1 << 5))
+        K2 = 32
+        while r > 4:
+            M2 = _rup(_cdiv(S, K2), 128)
+            pad2 = M2 * K2 - S
+            if pad2:
+                ck = jnp.concatenate([ck, jnp.zeros((pad2,), ck.dtype)])
+                cx = jnp.pad(cx, ((0, 0), (0, pad2)))
+                cy = jnp.pad(cy, ((0, 0), (0, pad2)))
+                cz = jnp.pad(cz, ((0, 0), (0, pad2)))
+            kT = ck.reshape(M2, K2).T
+            xT = cx.reshape(L, M2, K2).transpose(2, 0, 1)
+            yT = cy.reshape(L, M2, K2).transpose(2, 0, 1)
+            zT = cz.reshape(L, M2, K2).transpose(2, 0, 1)
+            ekeys, ex, ey, ez = pec.merge_scan(kT, xT, yT, zT)
+            r = _cdiv(r, K2) + 1
+            S = min(M2 * (K2 + 1), M2 + nb)
+            ck, (cx, cy, cz) = _compact_gather(ekeys, [ex, ey, ez], S)
+        return _msm_tail(group, pec, ck, cx, cy, cz, c, W, H, nb,
+                         combine)
+
     if packed:
         Lh = L // 2
         pxp = _pack16(px)
-        ytab = jnp.concatenate([_pack16(py), _pack16(_neg_std(F, py))], 0)
-        gx = jnp.take(pxp, pidx, axis=0)               # (M*K, Lh)
-        gy = jnp.take(ytab, pidx + sneg.astype(jnp.int32) * N, axis=0)
-        sxT = gx.reshape(M, K, Lh).transpose(1, 2, 0)  # (K, Lh, M)
-        syT = gy.reshape(M, K, Lh).transpose(1, 2, 0)
+        ptab = jnp.concatenate([
+            jnp.concatenate([pxp, _pack16(py)], axis=1),
+            jnp.concatenate([pxp, _pack16(_neg_std(F, py))], axis=1)],
+            axis=0)                                    # (2N, L)
+        g = jnp.take(ptab, pidx + sneg.astype(jnp.int32) * N, axis=0)
+        sT = g.reshape(M, K, L).transpose(1, 2, 0)     # (K, L, M)
+        sxT, syT = sT, None
     else:
         gx = jnp.take(px, pidx, axis=0)                # (M*K, L)
         gy = jnp.take(py, pidx, axis=0)
@@ -208,6 +352,14 @@ def msm_tpu(group, points_aff, scalars, c: int = None,
         S = min(M2 * (K2 + 1), M2 + nb)
         ck, (cx, cy, cz) = _compact_gather(ekeys, [ex, ey, ez], S)
 
+    return _msm_tail(group, pec, ck, cx, cy, cz, c, W, H, nb, combine)
+
+
+def _msm_tail(group, pec, ck, cx, cy, cz, c, W, H, nb, combine):
+    """Shared MSM tail: tree rounds over <=4-long runs, scatter into the
+    weighted bucket-reduction layout, two-level bucket reduce, window
+    combine (or per-row sums for the fixed-base batch path)."""
+    L = group.F.L
     # ---- 2 tree rounds: inclusive segmented sum over runs (len <= 4) ------
     Sf = ck.shape[0]
     for s in (1, 2):

@@ -397,10 +397,13 @@ class PallasEC:
         """Bucket-accumulation flush scan over a key-sorted stream.
 
         keys: (K, M) int32 — lane m sweeps keys[:, m] sequentially.
-        qx, qy: (K, L, M) uint32 — matching affine points (pre-negated) —
-        or, with packed=True, (K, L//2, M) with two 16-bit digits per u32
-        (digit 2i in the low half of row i); the kernel unpacks in VMEM,
-        halving the HBM read traffic of the dominant input stream.
+        With packed=True, qx is a single fused stream (K, L, M) whose rows
+        0..L/2-1 are the packed x digits (two 16-bit digits per u32, digit
+        2i in the low half of row i) and rows L/2..L-1 the packed y digits
+        (pre-negated); qy is ignored (pass None). The kernel unpacks in
+        VMEM, halving the HBM read traffic of the dominant input stream,
+        and the caller needs only ONE wide gather for all point data.
+        With packed=False, qx/qy are (K, L, M) unpacked x and y streams.
         Returns (ekeys (K+1, M) int32, ex, ey, ez (K+1, L, M)):
         rows 0..K-1 are run-boundary emissions (key == -1 where no
         emission), row K holds each lane's final accumulator with its key.
@@ -412,30 +415,38 @@ class PallasEC:
         K, M0 = keys.shape
         M = M0
         L = self.L
-        Lin = L // 2 if packed else L
-        assert qx.shape[1] == Lin, (qx.shape, Lin)
+        Lh = L // 2
+        n_in = 2 if not packed else 1
+        assert qx.shape[1] == L, (qx.shape, L)
         TB = TB or self.block
         npad = -M % TB
         if npad:
             keys = jnp.pad(keys, ((0, 0), (0, npad)), constant_values=-1)
             qx = jnp.pad(qx, ((0, 0), (0, 0), (0, npad)))
-            qy = jnp.pad(qy, ((0, 0), (0, 0), (0, npad)))
+            if qy is not None:
+                qy = jnp.pad(qy, ((0, 0), (0, 0), (0, npad)))
             M += npad
         keys = keys[:, None, :]                      # (K, 1, M) for tiling
 
         def unpack(v):
             # (L//2, TB) packed -> (L, TB) 16-bit digit rows
             rows = []
-            for i in range(Lin):
+            for i in range(v.shape[0]):
                 rows.append(v[i:i + 1, :] & MASK)
                 rows.append(v[i:i + 1, :] >> W)
             return jnp.concatenate(rows, axis=0)
 
         ckey = ("flush", K, M, TB, packed)
         if ckey not in self._cache:
-            def kern(k_ref, x_ref, y_ref, c_ref, ek_ref, ex_ref, ey_ref,
+            def kern(*refs):
+                if packed:
+                    (k_ref, xy_ref, c_ref, ek_ref, ex_ref, ey_ref,
                      ez_ref, fk_ref, fx_ref, fy_ref, fz_ref,
-                     t_ref, dbl_ref, acc_ref, key_ref):
+                     t_ref, dbl_ref, acc_ref, key_ref) = refs
+                else:
+                    (k_ref, x_ref, y_ref, c_ref, ek_ref, ex_ref, ey_ref,
+                     ez_ref, fk_ref, fx_ref, fy_ref, fz_ref,
+                     t_ref, dbl_ref, acc_ref, key_ref) = refs
                 k = pl.program_id(1)
                 kf = self._kf(c_ref, t_ref)
 
@@ -447,8 +458,12 @@ class PallasEC:
                     key_ref[:, :] = jnp.full((8, TB), -1, jnp.int32)
 
                 kk = k_ref[0, 0, :]
-                X2 = unpack(x_ref[0]) if packed else x_ref[0]
-                Y2 = unpack(y_ref[0]) if packed else y_ref[0]
+                if packed:
+                    X2 = unpack(xy_ref[0, :Lh, :])
+                    Y2 = unpack(xy_ref[0, Lh:, :])
+                else:
+                    X2 = x_ref[0]
+                    Y2 = y_ref[0]
                 cur = key_ref[0, :]
                 same = kk == cur
                 # emit previous accumulator at run boundaries
@@ -473,7 +488,7 @@ class PallasEC:
             grid = (M // TB, K)
             kspec = pl.BlockSpec((1, 1, TB), lambda m, k: (k, 0, m),
                                  memory_space=pltpu.VMEM)
-            inspec = pl.BlockSpec((1, Lin, TB), lambda m, k: (k, 0, m),
+            inspec = pl.BlockSpec((1, L, TB), lambda m, k: (k, 0, m),
                                   memory_space=pltpu.VMEM)
             pspec = pl.BlockSpec((1, L, TB), lambda m, k: (k, 0, m),
                                  memory_space=pltpu.VMEM)
@@ -484,9 +499,9 @@ class PallasEC:
             fn = pl.pallas_call(
                 kern,
                 grid=grid,
-                in_specs=[kspec, inspec, inspec,
-                          pl.BlockSpec((2, L, 128), lambda m, k: (0, 0, 0),
-                                       memory_space=pltpu.VMEM)],
+                in_specs=[kspec] + [inspec] * n_in
+                + [pl.BlockSpec((2, L, 128), lambda m, k: (0, 0, 0),
+                                memory_space=pltpu.VMEM)],
                 out_specs=[kspec, pspec, pspec, pspec,
                            fkspec, fspec, fspec, fspec],
                 out_shape=[jax.ShapeDtypeStruct((K, 1, M), jnp.int32)]
@@ -500,8 +515,9 @@ class PallasEC:
                 interpret=_interpret(),
             )
             self._cache[ckey] = jax.jit(fn)
+        ins = (keys, qx) if packed else (keys, qx, qy)
         ek, ex, ey, ez, fk, fx, fy, fz = self._cache[ckey](
-            keys, qx, qy, self._consts)
+            *ins, self._consts)
         ek, fk = ek[:, 0, :], fk[:, 0, :]
         ekeys = jnp.concatenate([ek, fk], axis=0)[:, :M0]
         ex = jnp.concatenate([ex, fx], axis=0)[:, :, :M0]
@@ -746,7 +762,387 @@ class PallasEC:
         return ox[:, :Wn], oy[:, :Wn], oz[:, :Wn]
 
 
+class PallasAffine:
+    """Kernels for affine pair-merge bucket accumulation.
+
+    The flush scan costs one Jacobian mixed-add (~11 Montgomery muls) per
+    stream entry. Merging key-equal neighbours PAIRWISE instead allows
+    AFFINE additions whose inversions batch across the whole round
+    (Montgomery's trick, chained along the grid minor axis), cutting the
+    per-entry cost to ~6 muls: 1 fwd-chain mul + 2 bwd-chain muls for the
+    shared inversion, then lambda, lambda^2, and y3. This is the TPU
+    re-expression of the reference's batchAffine accumulation
+    (ec_shortweierstrass_batch_ops.nim:29-187): same algebra, but the
+    "batch" axis is the whole sorted (window,bucket) stream and collision
+    freedom comes from rank-pairing on sorted keys, not scheduler queues.
+
+    Data conventions: field elements ride PACKED (two 16-bit digits per
+    u32): a coordinate is L/2 rows. A point is [x||y] = L rows packed.
+    CASE codes from pair_d: 0 add, 1 double, 2 keep-self, 3 take-partner,
+    4 result-infinity.
+    """
+
+    def __init__(self, pec: "PallasEC"):
+        self.pec = pec
+        self.L = pec.L
+        self.Lh = pec.L // 2
+        self.block = pec.block
+        self._cache = {}
+        # exponent bits of p-2 (MSB first) for Fermat inversion
+        F = pec.F
+        p_int = 0
+        for i, v in enumerate(pec._p_limbs):
+            p_int |= int(v) << (16 * i)
+        e = p_int - 2
+        bits = [int(b) for b in bin(e)[2:]]
+        nb = len(bits)
+        arr = np.zeros((1, _rup128(nb)), np.int32)
+        arr[0, :nb] = bits
+        self._fermat_bits = arr
+        self._nbits = nb
+
+    # -- packing helpers (kernel-side) --------------------------------------
+
+    def _unpack(self, v):
+        rows = []
+        for i in range(v.shape[0]):
+            rows.append(v[i:i + 1, :] & MASK)
+            rows.append(v[i:i + 1, :] >> W)
+        return jnp.concatenate(rows, axis=0)
+
+    def _pack(self, v):
+        # strided sublane slices don't lower on Mosaic; use static row pairs
+        L = v.shape[0]
+        rows = [v[i:i + 1, :] | (v[i + 1:i + 2, :] << W)
+                for i in range(0, L, 2)]
+        return rows[0] if len(rows) == 1 else jnp.concatenate(rows, axis=0)
+
+    # -- pair_d: denominators + case codes ----------------------------------
+
+    def pair_d(self, lhs_st, par_st, meta):
+        """lhs_st, par_st: (L, m) packed [x||y]; meta: (1, m) int32 bits
+        [0]=paired [1]=self_inf [2]=partner_inf [3]=dead.
+        Returns (dpack (Lh, m), case (1, m) int32)."""
+        L, Lh, TB = self.L, self.Lh, self.block
+        m0 = lhs_st.shape[1]
+        m = _rupn(m0, TB)
+        if m != m0:
+            lhs_st = jnp.pad(lhs_st, ((0, 0), (0, m - m0)))
+            par_st = jnp.pad(par_st, ((0, 0), (0, m - m0)))
+            meta = jnp.pad(meta, ((0, 0), (0, m - m0)),
+                           constant_values=8)          # dead
+        ck = ("pair_d", m)
+        if ck not in self._cache:
+            def kern(s_ref, p_ref, m_ref, c_ref, d_ref, case_ref, t_ref):
+                kf = self.pec._kf(c_ref, t_ref)
+                mt = m_ref[0, :]
+                paired = (mt & 1) == 1
+                self_inf = (mt & 2) == 2
+                par_inf = (mt & 4) == 4
+                dead = (mt & 8) == 8
+                xeq = jnp.all(s_ref[:Lh, :] == p_ref[:Lh, :], axis=0)
+                yeq = jnp.all(s_ref[Lh:, :] == p_ref[Lh:, :], axis=0)
+                both = paired & (~self_inf) & (~par_inf) & (~dead)
+                is_add = both & (~xeq)
+                is_dbl = both & xeq & yeq
+                is_infr = (both & xeq & (~yeq)) | (paired & self_inf & par_inf)
+                take_par = paired & self_inf & (~par_inf) & (~dead)
+                # d = x2 - x1 (add) / 2*y1 (double) / one
+                x1 = self._unpack(s_ref[:Lh, :])
+                y1 = self._unpack(s_ref[Lh:, :])
+                x2 = self._unpack(p_ref[:Lh, :])
+                d = kf.sub(x2, x1)
+                d = kf.sel(is_dbl, kf.dbl(y1), d)
+                usable = is_add | is_dbl
+                d = kf.sel(~usable, kf.one(TB), d)
+                # keep-self covers: unpaired singles, and paired with an
+                # infinity partner (sum = self)
+                case = jnp.where(is_add, 0,
+                                 jnp.where(is_dbl, 1,
+                                           jnp.where(take_par, 3,
+                                                     jnp.where(is_infr, 4,
+                                                               2))))
+                case = jnp.where(dead | (self_inf & ~paired), 4, case)
+                d_ref[:, :] = self._pack(d)
+                case_ref[0, :] = case
+            grid = (m // TB,)
+            fn = pl.pallas_call(
+                kern, grid=grid,
+                in_specs=[
+                    pl.BlockSpec((L, TB), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((L, TB), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, TB), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((2, L, 128), lambda i: (0, 0, 0),
+                                 memory_space=pltpu.VMEM)],
+                out_specs=[
+                    pl.BlockSpec((Lh, TB), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, TB), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM)],
+                out_shape=[jax.ShapeDtypeStruct((Lh, m), jnp.uint32),
+                           jax.ShapeDtypeStruct((1, m), jnp.int32)],
+                scratch_shapes=[pltpu.VMEM((2 * L + 1, TB), jnp.uint32)],
+                interpret=_interpret(),
+            )
+            self._cache[ck] = jax.jit(fn)
+        d, case = self._cache[ck](lhs_st, par_st, meta, self.pec._consts)
+        return d[:, :m0], case[:, :m0]
+
+    # -- chain kernels (Montgomery batch inversion) --------------------------
+
+    def chain_fwd(self, dC):
+        """dC: (C, Lh, Mw) packed denominators; chain along axis 0.
+        Returns (prefix_ex (C, Lh, Mw) — product of d[0..c-1], packed —
+        and block products (Lh, Mw))."""
+        C, Lh, Mw = dC.shape
+        L, TB = self.L, self.block
+        assert Lh == self.Lh and Mw % TB == 0
+        ck = ("cfwd", C, Mw)
+        if ck not in self._cache:
+            def kern(d_ref, c_ref, pe_ref, bp_ref, t_ref, run_ref):
+                c = pl.program_id(1)
+                kf = self.pec._kf(c_ref, t_ref)
+
+                @pl.when(c == 0)
+                def _():
+                    run_ref[:, :] = kf.one(TB)
+
+                pe_ref[0] = self._pack(run_ref[:, :])
+                d = self._unpack(d_ref[0])
+                run_ref[:, :] = kf.mul(run_ref[:, :], d)
+                bp_ref[0] = self._pack(run_ref[:, :])
+
+            grid = (Mw // TB, C)
+            dspec = pl.BlockSpec((1, Lh, TB), lambda m, c: (c, 0, m),
+                                 memory_space=pltpu.VMEM)
+            bspec = pl.BlockSpec((1, Lh, TB), lambda m, c: (0, 0, m),
+                                 memory_space=pltpu.VMEM)
+            fn = pl.pallas_call(
+                kern, grid=grid,
+                in_specs=[dspec,
+                          pl.BlockSpec((2, L, 128), lambda m, c: (0, 0, 0),
+                                       memory_space=pltpu.VMEM)],
+                out_specs=[dspec, bspec],
+                out_shape=[jax.ShapeDtypeStruct((C, Lh, Mw), jnp.uint32),
+                           jax.ShapeDtypeStruct((1, Lh, Mw), jnp.uint32)],
+                scratch_shapes=[pltpu.VMEM((2 * L + 1, TB), jnp.uint32),
+                                pltpu.VMEM((L, TB), jnp.uint32)],
+                interpret=_interpret(),
+            )
+            self._cache[ck] = jax.jit(fn)
+        pe, bp = self._cache[ck](dC, self.pec._consts)
+        return pe, bp[0]
+
+    def fermat_inv(self, xpack):
+        """(Lh, Wd) packed -> (Lh, Wd) packed inverse via x^(p-2).
+        Wd must be <= a few blocks; cost ~2*nbits muls."""
+        Lh, Wd0 = xpack.shape
+        L = self.L
+        TB = min(self.block, max(128, _rup128(Wd0)))
+        Wd = _rupn(Wd0, TB)
+        if Wd != Wd0:
+            one_packed = np.asarray(
+                self.pec._consts[1, :, 0], np.uint32)
+            onep = (one_packed[0::2] | (one_packed[1::2] << 16))
+            pad = jnp.broadcast_to(jnp.asarray(onep)[:, None],
+                                   (Lh, Wd - Wd0))
+            xpack = jnp.concatenate([xpack, pad], axis=1)
+        nb = self._nbits
+        ck = ("fermat", Wd, TB)
+        if ck not in self._cache:
+            def kern(x_ref, bits_ref, c_ref, o_ref, t_ref):
+                kf = self.pec._kf(c_ref, t_ref)
+                base = self._unpack(x_ref[:, :])
+
+                def body(i, acc):
+                    acc = kf.mul(acc, acc)
+                    bit = pl.load(bits_ref, (0, pl.ds(i, 1)))
+                    withm = kf.mul(acc, base)
+                    return jnp.where(bit[0] == 1, withm, acc)
+
+                acc = jax.lax.fori_loop(0, nb, body, kf.one(TB))
+                o_ref[:, :] = self._pack(acc)
+
+            grid = (Wd // TB,)
+            fn = pl.pallas_call(
+                kern, grid=grid,
+                in_specs=[pl.BlockSpec((Lh, TB), lambda i: (0, i),
+                                       memory_space=pltpu.VMEM),
+                          pl.BlockSpec((1, self._fermat_bits.shape[1]),
+                                       lambda i: (0, 0),
+                                       memory_space=pltpu.VMEM),
+                          pl.BlockSpec((2, L, 128), lambda i: (0, 0, 0),
+                                       memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec((Lh, TB), lambda i: (0, i),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((Lh, Wd), jnp.uint32),
+                scratch_shapes=[pltpu.VMEM((2 * L + 1, TB), jnp.uint32)],
+                interpret=_interpret(),
+            )
+            self._cache[ck] = jax.jit(fn)
+        out = self._cache[ck](xpack, self._fermat_bits, self.pec._consts)
+        return out[:, :Wd0]
+
+    def batch_inv_packed(self, xpack, C: int = 32):
+        """Batched field inversion of (Lh, m) packed values, m % (C*TB)==0.
+        Two-level Montgomery chain + narrow Fermat. ~3 muls/element."""
+        Lh, m = xpack.shape
+        TB = self.block
+        if m <= 4 * TB:
+            return self.fermat_inv(xpack)
+        assert m % (C * TB) == 0, (m, C, TB)
+        Mw = m // C
+        dC = xpack.reshape(Lh, C, Mw).transpose(1, 0, 2)
+        pe, bp = self.chain_fwd(dC)
+        bpinv = self.batch_inv_packed(bp, C) if Mw > 4 * TB \
+            else self.fermat_inv(bp)
+        invC = self.chain_bwd_inv(pe, dC, bpinv)
+        return invC.transpose(1, 0, 2).reshape(Lh, m)
+
+    def chain_bwd_inv(self, pe, dC, bpinv):
+        """Distribute block-product inverses down the chain:
+        inv[c] = running * prefix_ex[c]; running *= d[c], c = C-1..0.
+        All (C, Lh, Mw) packed; bpinv (Lh, Mw). Returns inv (C, Lh, Mw)."""
+        C, Lh, Mw = dC.shape
+        L, TB = self.L, self.block
+        ck = ("cbwd", C, Mw)
+        if ck not in self._cache:
+            def kern(pe_ref, d_ref, bi_ref, c_ref, o_ref, t_ref, run_ref):
+                c = pl.program_id(1)
+                kf = self.pec._kf(c_ref, t_ref)
+
+                @pl.when(c == 0)
+                def _():
+                    run_ref[:, :] = self._unpack(bi_ref[0])
+
+                pex = self._unpack(pe_ref[0])
+                o_ref[0] = self._pack(kf.mul(run_ref[:, :], pex))
+                d = self._unpack(d_ref[0])
+                run_ref[:, :] = kf.mul(run_ref[:, :], d)
+
+            grid = (Mw // TB, C)
+            rev = pl.BlockSpec((1, Lh, TB), lambda m, c: (C - 1 - c, 0, m),
+                               memory_space=pltpu.VMEM)
+            bspec = pl.BlockSpec((1, Lh, TB), lambda m, c: (0, 0, m),
+                                 memory_space=pltpu.VMEM)
+            fn = pl.pallas_call(
+                kern, grid=grid,
+                in_specs=[rev, rev, bspec,
+                          pl.BlockSpec((2, L, 128), lambda m, c: (0, 0, 0),
+                                       memory_space=pltpu.VMEM)],
+                out_specs=rev,
+                out_shape=jax.ShapeDtypeStruct((C, Lh, Mw), jnp.uint32),
+                scratch_shapes=[pltpu.VMEM((2 * L + 1, TB), jnp.uint32),
+                                pltpu.VMEM((L, TB), jnp.uint32)],
+                interpret=_interpret(),
+            )
+            self._cache[ck] = jax.jit(fn)
+        return self._cache[ck](pe, dC, bpinv[None], self.pec._consts)
+
+    def chain_bwd_apply(self, pe, dC, bpinv, stC, spC, caseC):
+        """Fused backward chain + affine pair addition.
+
+        pe, dC: (C, Lh, Mw) packed prefix_ex / denominators;
+        bpinv: (Lh, Mw) packed block-product inverses;
+        stC, spC: (C, L, Mw) packed lhs / partner points [x||y];
+        caseC: (C, 1, Mw) int32 case codes.
+        Returns (st3C (C, L, Mw) packed results, infC (C, 1, Mw) int32).
+        """
+        C, Lh, Mw = dC.shape
+        L, TB = self.L, self.block
+        ck = ("capply", C, Mw)
+        if ck not in self._cache:
+            def kern(pe_ref, d_ref, bi_ref, s_ref, p_ref, case_ref, c_ref,
+                     o_ref, oi_ref, t_ref, run_ref, dbl_ref):
+                c = pl.program_id(1)
+                kf = self.pec._kf(c_ref, t_ref)
+
+                @pl.when(c == 0)
+                def _():
+                    run_ref[:, :] = self._unpack(bi_ref[0])
+
+                pex = self._unpack(pe_ref[0])
+                inv = kf.mul(run_ref[:, :], pex)
+                d = self._unpack(d_ref[0])
+                run_ref[:, :] = kf.mul(run_ref[:, :], d)
+
+                case = case_ref[0, 0, :]
+                x1 = self._unpack(s_ref[0, :Lh, :])
+                y1 = self._unpack(s_ref[0, Lh:, :])
+                x2 = self._unpack(p_ref[0, :Lh, :])
+                y2 = self._unpack(p_ref[0, Lh:, :])
+                is_dbl = case == 1
+                # num = y2 - y1, or 3*x1^2 for doubling (rare: under when)
+                num = kf.sub(y2, y1)
+
+                @pl.when(jnp.any(is_dbl))
+                def _():
+                    x1sq = kf.mul(x1, x1)
+                    dbl_ref[:, :] = kf.add(kf.dbl(x1sq), x1sq)
+
+                num = kf.sel(is_dbl, dbl_ref[:, :], num)
+                lam = kf.mul(num, inv)
+                lam2 = kf.mul(lam, lam)
+                x3 = kf.sub(kf.sub(lam2, x1), x2)
+                y3 = kf.sub(kf.mul(lam, kf.sub(x1, x3)), y1)
+                merged = case <= 1
+                xo = kf.sel(merged, x3, x1)
+                yo = kf.sel(merged, y3, y1)
+                take_par = case == 3
+                xo = kf.sel(take_par, x2, xo)
+                yo = kf.sel(take_par, y2, yo)
+                o_ref[0] = jnp.concatenate(
+                    [self._pack(xo), self._pack(yo)], axis=0)
+                oi_ref[0, 0, :] = jnp.where(case == 4, 1, 0)
+
+            grid = (Mw // TB, C)
+            rev_h = pl.BlockSpec((1, Lh, TB), lambda m, c: (C - 1 - c, 0, m),
+                                 memory_space=pltpu.VMEM)
+            rev_f = pl.BlockSpec((1, L, TB), lambda m, c: (C - 1 - c, 0, m),
+                                 memory_space=pltpu.VMEM)
+            rev_1 = pl.BlockSpec((1, 1, TB), lambda m, c: (C - 1 - c, 0, m),
+                                 memory_space=pltpu.VMEM)
+            bspec = pl.BlockSpec((1, Lh, TB), lambda m, c: (0, 0, m),
+                                 memory_space=pltpu.VMEM)
+            fn = pl.pallas_call(
+                kern, grid=grid,
+                in_specs=[rev_h, rev_h, bspec, rev_f, rev_f, rev_1,
+                          pl.BlockSpec((2, L, 128), lambda m, c: (0, 0, 0),
+                                       memory_space=pltpu.VMEM)],
+                out_specs=[rev_f, rev_1],
+                out_shape=[jax.ShapeDtypeStruct((C, L, Mw), jnp.uint32),
+                           jax.ShapeDtypeStruct((C, 1, Mw), jnp.int32)],
+                scratch_shapes=[pltpu.VMEM((2 * L + 1, TB), jnp.uint32),
+                                pltpu.VMEM((L, TB), jnp.uint32),
+                                pltpu.VMEM((L, TB), jnp.uint32)],
+                interpret=_interpret(),
+            )
+            self._cache[ck] = jax.jit(fn)
+        st3, inf = self._cache[ck](pe, dC, bpinv[None], stC, spC, caseC,
+                                   self.pec._consts)
+        return st3, inf
+
+
+def _rup128(n):
+    return -(-n // 128) * 128
+
+
+def _rupn(n, m):
+    return -(-n // m) * m
+
+
 _instances = {}
+_affine_instances = {}
+
+
+def get_pallas_affine(field, block: int = 512) -> PallasAffine:
+    key = (id(field), block)
+    if key not in _affine_instances:
+        _affine_instances[key] = PallasAffine(get_pallas_ec(field, block))
+    return _affine_instances[key]
 
 
 def get_pallas_ec(field, block: int = 512) -> PallasEC:

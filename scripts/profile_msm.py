@@ -92,15 +92,14 @@ def main():
         sk = keys[order]
         pidx = order % N
         sneg = neg[order]
-        Lh = L // 2
         pxp = _pack16(px)
-        ytab = jnp.concatenate([_pack16(py), _pack16(_neg_std(F, py))], 0)
-        gx = jnp.take(pxp, pidx, axis=0)
-        gy = jnp.take(ytab, pidx + sneg.astype(jnp.int32) * N, axis=0)
-        sxT = gx.reshape(M, K, Lh).transpose(1, 2, 0)
-        syT = gy.reshape(M, K, Lh).transpose(1, 2, 0)
+        ptab = jnp.concatenate([
+            jnp.concatenate([pxp, _pack16(py)], axis=1),
+            jnp.concatenate([pxp, _pack16(_neg_std(F, py))], axis=1)], 0)
+        g = jnp.take(ptab, pidx + sneg.astype(jnp.int32) * N, axis=0)
+        sT = g.reshape(M, K, L).transpose(1, 2, 0)
         skT = sk.reshape(M, K).T
-        return skT, sxT, syT
+        return skT, sT
 
     @jax.jit
     def sort_only(digits):

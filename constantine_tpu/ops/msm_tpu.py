@@ -148,7 +148,7 @@ def _affine_accumulate(pa, sk, st, nb, flat_pad, n_rounds: int = 5):
     rank = iota - spos
 
     for _ in range(n_rounds):
-        m_next = max(_rupn(m // 2 + nb + 64, unit), unit)
+        m_next = min(max(_rupn(m // 2 + nb + 64, unit), unit), m)
         lhs = (rank & 1) == 0
         # mega-array [st ; st>>1 ; keys,rank,inf ; keys>>1,inf>>1] so the
         # compaction needs only ONE gather (per-index cost dominates and is
@@ -204,7 +204,7 @@ def _affine_accumulate(pa, sk, st, nb, flat_pad, n_rounds: int = 5):
 
 def msm_tpu(group, points_aff, scalars, c: int = None,
             scalar_bits: int = None, block: int = 512, digits=None,
-            combine: bool = True):
+            combine: bool = True, affine_rounds: int = 5):
     """MSM over the Pallas kernel path. Same contract as ops.msm.msm:
     returns a Jacobian point tuple with batch shape () in standard (.., L)
     layout. G1 over Fp only (tower fields fall back to the XLA path).
@@ -255,8 +255,11 @@ def msm_tpu(group, points_aff, scalars, c: int = None,
 
     import os
     nb = W * (H + 1)
+    # The affine pair-merge path is correct but currently ~1.6x slower than
+    # the Jacobian flush path at N=2^16 on-device (argsort/gather-dominated
+    # merge rounds); keep it opt-in until it wins.
     use_affine = (L % 2 == 0) \
-        and os.environ.get("CTT_MSM_AFFINE", "1") != "0"
+        and os.environ.get("CTT_MSM_AFFINE", "0") != "0"
 
     # gather the point stream packed (2 digits/u32) as ONE wide row-gather:
     # gather cost on this hardware is per-index, independent of row width,
@@ -283,9 +286,10 @@ def msm_tpu(group, points_aff, scalars, c: int = None,
             gi = jnp.concatenate([gi, jnp.zeros((apad,), jnp.int32)])
         g = jnp.take(ptab, gi, axis=0)                 # (flat_pad, L)
         st = g.T                                       # (L, flat_pad)
-        ck, cx, cy, cz = _affine_accumulate(pa, sk_s, st, nb, flat_pad)
+        ck, cx, cy, cz = _affine_accumulate(pa, sk_s, st, nb, flat_pad,
+                                            n_rounds=affine_rounds)
         S = ck.shape[0]
-        r = max(1, _cdiv(N, 1 << 5))
+        r = max(1, _cdiv(N, 1 << affine_rounds))
         K2 = 32
         while r > 4:
             M2 = _rup(_cdiv(S, K2), 128)

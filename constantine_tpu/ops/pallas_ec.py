@@ -959,9 +959,9 @@ class PallasAffine:
 
                 def body(i, acc):
                     acc = kf.mul(acc, acc)
-                    bit = pl.load(bits_ref, (0, pl.ds(i, 1)))
+                    bit = bits_ref[0, i]        # scalar SMEM load, dynamic i
                     withm = kf.mul(acc, base)
-                    return jnp.where(bit[0] == 1, withm, acc)
+                    return jnp.where(bit == 1, withm, acc)
 
                 acc = jax.lax.fori_loop(0, nb, body, kf.one(TB))
                 o_ref[:, :] = self._pack(acc)
@@ -973,7 +973,7 @@ class PallasAffine:
                                        memory_space=pltpu.VMEM),
                           pl.BlockSpec((1, self._fermat_bits.shape[1]),
                                        lambda i: (0, 0),
-                                       memory_space=pltpu.VMEM),
+                                       memory_space=pltpu.SMEM),
                           pl.BlockSpec((2, L, 128), lambda i: (0, 0, 0),
                                        memory_space=pltpu.VMEM)],
                 out_specs=pl.BlockSpec((Lh, TB), lambda i: (0, i),
@@ -987,20 +987,28 @@ class PallasAffine:
         return out[:, :Wd0]
 
     def batch_inv_packed(self, xpack, C: int = 32):
-        """Batched field inversion of (Lh, m) packed values, m % (C*TB)==0.
-        Two-level Montgomery chain + narrow Fermat. ~3 muls/element."""
-        Lh, m = xpack.shape
+        """Batched field inversion of (Lh, m) packed values (any m).
+        Two-level Montgomery chain + narrow Fermat. ~3 muls/element.
+        Inputs not a multiple of C*TB are padded with Montgomery ones
+        (self-inverse, so the chain stays correct) and sliced back."""
+        Lh, m0 = xpack.shape
         TB = self.block
-        if m <= 4 * TB:
+        if m0 <= 4 * TB:
             return self.fermat_inv(xpack)
-        assert m % (C * TB) == 0, (m, C, TB)
+        m = _rupn(m0, C * TB)
+        if m != m0:
+            one_packed = np.asarray(self.pec._consts[1, :, 0], np.uint32)
+            onep = (one_packed[0::2] | (one_packed[1::2] << 16))
+            pad = jnp.broadcast_to(jnp.asarray(onep)[:, None],
+                                   (Lh, m - m0))
+            xpack = jnp.concatenate([xpack, pad], axis=1)
         Mw = m // C
         dC = xpack.reshape(Lh, C, Mw).transpose(1, 0, 2)
         pe, bp = self.chain_fwd(dC)
         bpinv = self.batch_inv_packed(bp, C) if Mw > 4 * TB \
             else self.fermat_inv(bp)
         invC = self.chain_bwd_inv(pe, dC, bpinv)
-        return invC.transpose(1, 0, 2).reshape(Lh, m)
+        return invC.transpose(1, 0, 2).reshape(Lh, m)[:, :m0]
 
     def chain_bwd_inv(self, pe, dC, bpinv):
         """Distribute block-product inverses down the chain:

@@ -3,6 +3,7 @@
 Replicates msm_tpu's stages as separately-jitted functions and times each
 with block_until_ready, to find where the 134 ms goes.
 """
+import os
 import sys
 import time
 
@@ -10,7 +11,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from constantine_tpu.named.precompute import get_curve
 from constantine_tpu.ops import limbs as lb

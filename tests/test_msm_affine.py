@@ -75,7 +75,10 @@ def test_msm_affine_end_to_end():
     px = jnp.asarray(ctx.fp.encode([p[0] for p in pts]))
     py = jnp.asarray(ctx.fp.encode([p[1] for p in pts]))
     sc = jnp.asarray(ctx.scalars_to_limbs(ks))
-    res = msm_tpu(ctx.g1, (px, py), sc, scalar_bits=255)
+    # block=128 / 2 merge rounds keep the interpret-mode (CPU) runtime
+    # bounded; the TPU run exercises the full-size defaults.
+    res = msm_tpu(ctx.g1, (px, py), sc, scalar_bits=255, block=128,
+                  affine_rounds=2)
     (rx, ry), inf = ctx.g1.to_affine(tuple(v[None] for v in res))
     acc = None
     for k, p in zip(ks, pts):

@@ -72,31 +72,6 @@ def _pack16(a):
     return a[..., 0::2] | (a[..., 1::2] << 16)
 
 
-def _compact_gather(ekeys, coords, S):
-    """Keys-first compaction of dense scan emissions.
-
-    ekeys: (R, M) int32 — per-lane emission keys, -1/0 = not real.
-    coords: list of (R, L, M) uint32 planar coordinate planes.
-    Returns (keys (S,) int32, [(L, S) planes]) holding the <= S real
-    entries in m-major stream order (lane-major preserves global key
-    sortedness: lane m sweeps stream positions m*K..). Only the small key
-    plane is transposed; coordinates move through ONE gather of the real
-    entries instead of a dense (R, L, M) transpose.
-    """
-    R, M = ekeys.shape
-    ckf = ekeys.T.reshape(-1)                         # (M*R,) m-major
-    real = ckf > 0
-    pos = jnp.cumsum(real.astype(jnp.int32)) - 1
-    pos = jnp.where(real, pos, S)
-    nk = jnp.zeros((S,), jnp.int32).at[pos].set(ckf, mode="drop")
-    src = jnp.zeros((S,), jnp.int32).at[pos].set(
-        jnp.arange(M * R, dtype=jnp.int32), mode="drop")
-    m_i = src // R
-    k_i = src - m_i * R
-    outs = [ex[k_i, :, m_i].T for ex in coords]       # (L, S) each
-    return nk, outs
-
-
 def _lane_tree_sum(pec, P, n):
     """Jacobian sum of the first n lanes of (L, n) planar coords."""
     X, Y, Z = P
@@ -202,6 +177,101 @@ def _affine_accumulate(pa, sk, st, nb, flat_pad, n_rounds: int = 5):
     return ck, cx, cy, cz
 
 
+def _sorted_stream(digits, c, W, H, N):
+    """Sort the (W, N) signed digits into a bucket-grouped stream.
+
+    Returns (sk (W*N,) int32 global keys, gi (W*N,) int32 gather columns
+    into the [P ; -P] table [point idx, + N if negated]). Key for digit d
+    of window w is w*(H+1) + |d|; zero digits land on the unused gap value
+    w*(H+1) (bucket ids are 1..H), so the whole stream is GLOBALLY sorted
+    — a property _compact_from_sorted's searchsorted relies on — and gap
+    keys are filtered there (they are never valid buckets).
+
+    Fast path: ONE 32-bit sort of per-window packed (|d|, sign, idx)
+    words — measured 2.7x faster than a flat argsort of the same stream on
+    v5e (batched rows sort better than one long row, and the key+payload
+    pack avoids a second gather).
+    """
+    ib = max(1, N - 1).bit_length()          # index bits
+    widx = jax.lax.broadcasted_iota(jnp.int32, (W, N), 0)
+    if c + 1 + ib <= 31:
+        k = jnp.abs(digits)
+        sign = (digits < 0).astype(jnp.int32)
+        idx = jax.lax.broadcasted_iota(jnp.int32, digits.shape, 1)
+        packed = (k << (ib + 1)) | (sign << ib) | idx
+        s = jax.lax.sort(packed, dimension=1)
+        sk_w = s >> (ib + 1)
+        gi = (s & ((1 << ib) - 1)) + ((s >> ib) & 1) * N
+        sk = widx * (H + 1) + sk_w
+        return sk.reshape(-1), gi.reshape(-1)
+    keys = (widx * (H + 1) + jnp.abs(digits)).reshape(-1)
+    neg = (digits < 0).reshape(-1).astype(jnp.int32)
+    iota = jnp.arange(W * N, dtype=jnp.int32)
+    sk, order = jax.lax.sort_key_val(keys, iota)
+    gi = (order % N) + neg[order] * N
+    return sk, gi
+
+
+def _compact_mask_gather(skT, coords, S, nb, H, shape2=None):
+    """Compact the dense post-step scan emissions to the real run sums.
+
+    skT: (K, M) int32 — the scan kernel's input keys; coords: list of
+    (K, L, M) post-step accumulator planes. Slot (k, m) is real iff its
+    key is a true bucket id (1..nb, not a w*(H+1) zero-digit gap value)
+    and differs from lane m's next key (or k == K-1): the last slot of a
+    run holds the run sum. Real entries keep global stream order
+    (lane-major). One cumsum + ONE scatter of the stream position; keys
+    and coordinates are then pulled by cheap S-sized gathers.
+
+    shape2=(K2, M2) lays the output out for merge_scan (lane m2 sweeps
+    stream entries m2*K2..) and returns (keys (K2, M2), [(K2, L, M2)]);
+    shape2=None returns stream order (keys (S,), [(L, S)]). Slots beyond
+    the real count hold key 0 (neutral downstream).
+    """
+    K, M = skT.shape
+    L = coords[0].shape[1]
+    nxt = jnp.concatenate([skT[1:], jnp.full((1, M), -1, skT.dtype)],
+                          axis=0)
+    real = (skT != nxt) & (skT > 0) & (skT <= nb) & (skT % (H + 1) != 0)
+    realT = real.T.reshape(-1)                 # m-major stream order
+    keysT = skT.T.reshape(-1)
+    pos = jnp.cumsum(realT.astype(jnp.int32)) - 1
+    if shape2 is not None:
+        K2, M2 = shape2
+        S = K2 * M2
+        pos = (pos % K2) * M2 + (pos // K2)
+    pos = jnp.where(realT, pos, S)
+    sid = jnp.arange(M * K, dtype=jnp.int32)
+    src = jnp.full((S,), -1, jnp.int32).at[pos].set(sid, mode="drop")
+    good = src >= 0
+    src = jnp.maximum(src, 0)
+    ck = jnp.where(good, jnp.take(keysT, src), 0)
+    m_i = src // K
+    k_i = src - m_i * K
+    outs = [cv[k_i, :, m_i] for cv in coords]  # (S, L)
+    if shape2 is not None:
+        return (ck.reshape(K2, M2),
+                [o.reshape(K2, M2, L).swapaxes(1, 2) for o in outs])
+    return ck, [o.T for o in outs]
+
+
+def _merge_rounds(pec, keysP, ex, ey, ez, curK, curM, nb, H, r, K2=32):
+    """Repeated compact + merge_scan until every bucket has <= 4 partials
+    (the reach of _msm_tail's two tree rounds). Returns the final
+    compacted stream (ck (S,), cx, cy, cz (L, S))."""
+    while r > 4:
+        Sb = min(curM * curK, curM + nb)
+        M2 = _rup(_cdiv(Sb, K2), 128)
+        kT, (xT, yT, zT) = _compact_mask_gather(
+            keysP, [ex, ey, ez], None, nb, H, shape2=(K2, M2))
+        ex, ey, ez = pec.merge_scan(kT, xT, yT, zT)
+        keysP, curK, curM = kT, K2, M2
+        r = _cdiv(r, K2) + 1
+    Sf = min(curM * curK, curM + nb)
+    ck, (cx, cy, cz) = _compact_mask_gather(keysP, [ex, ey, ez], Sf, nb, H)
+    return ck, cx, cy, cz
+
+
 def msm_tpu(group, points_aff, scalars, c: int = None,
             scalar_bits: int = None, block: int = 512, digits=None,
             combine: bool = True, affine_rounds: int = 5):
@@ -213,6 +283,7 @@ def msm_tpu(group, points_aff, scalars, c: int = None,
     (W, L) coordinates WITHOUT the 2^(c*w) scaling/combine — used by the
     fixed-base batch path where the leading digit axis indexes independent
     MSMs over a shared table (one result per row) rather than windows."""
+    import os
     F = group.F
     pec = get_pallas_ec(F, block)
     L = F.L
@@ -230,132 +301,99 @@ def msm_tpu(group, points_aff, scalars, c: int = None,
         H = 1 << (c - 1)
         digits = _signed_digits(scalars, c, W)        # (W, N) int32
 
-    # ---- global keys + one sort ------------------------------------------
-    widx = jax.lax.broadcasted_iota(jnp.int32, (W, N), 0)
-    keys = jnp.where(digits == 0, 0,
-                     widx * (H + 1) + jnp.abs(digits)).reshape(-1)
-    neg = (digits < 0).reshape(-1)
+    # ---- one sort into a bucket-grouped stream ---------------------------
+    sk, gi = _sorted_stream(digits, c, W, H, N)
     flat = W * N
+    nb = W * (H + 1)
 
     # flush geometry: M lanes sweeping K-length chunks. K is sized so the
     # worst-case partials per bucket, ceil(N/K)+1 (a run has <= N entries
-    # and touches <= run/K + 1 lane chunks), collapses in one merge round:
-    # ceil(96/K2=32)+1 = 4 <= the 2 tree rounds' reach.
+    # and touches <= run/K + 1 lane chunks), collapses in one merge round.
     K0 = max(8, _cdiv(N, 64))
     M = _rup(_cdiv(flat, K0), block)
-    K = _cdiv(flat, M)
+    K = _rup(_cdiv(flat, M), 8)      # kernel absorbs 8 entries per step
     pad = M * K - flat
     if pad:
-        keys = jnp.concatenate([keys, jnp.zeros((pad,), keys.dtype)])
-        neg = jnp.concatenate([neg, jnp.zeros((pad,), neg.dtype)])
-    order = jnp.argsort(keys)
-    sk = keys[order]
-    pidx = order % N                                   # point index
-    sneg = neg[order]
+        # pad ABOVE every real key so the stream stays globally sorted
+        sk = jnp.concatenate(
+            [sk, jnp.full((pad,), nb + 1, sk.dtype)])
+        gi = jnp.concatenate([gi, jnp.zeros((pad,), gi.dtype)])
 
-    import os
-    nb = W * (H + 1)
-    # The affine pair-merge path is correct but currently ~1.6x slower than
-    # the Jacobian flush path at N=2^16 on-device (argsort/gather-dominated
+    K2 = 32
+    # The affine pair-merge path is correct but currently slower than the
+    # Jacobian flush path at N=2^16 on-device (argsort/gather-dominated
     # merge rounds); keep it opt-in until it wins.
     use_affine = (L % 2 == 0) \
         and os.environ.get("CTT_MSM_AFFINE", "0") != "0"
-
-    # gather the point stream packed (2 digits/u32) as ONE wide row-gather:
-    # gather cost on this hardware is per-index, independent of row width,
-    # so a fused [x || y] / [x || -y] table (2N, L) halves gather time vs
-    # separate x and y gathers, and negation selection is free (row offset).
     packed = (L % 2 == 0)
-    if use_affine:
-        from .pallas_ec import get_pallas_affine
-        pa = get_pallas_affine(F, block)
-        Lh = L // 2
+
+    # gather table with negated second half: negation selection is a row
+    # offset (+N), free at gather time.
+    if packed:
         pxp = _pack16(px)
         ptab = jnp.concatenate([
             jnp.concatenate([pxp, _pack16(py)], axis=1),
             jnp.concatenate([pxp, _pack16(_neg_std(F, py))], axis=1)],
-            axis=0)                                    # (2N, L)
+            axis=0)                                    # (2N, L) packed
+
+    if use_affine:
+        from .pallas_ec import get_pallas_affine
+        pa = get_pallas_affine(F, block)
         unit = 32 * block
         flat_pad = max(_rupn(M * K, unit), unit)
         apad = flat_pad - M * K
-        sk_s = sk
-        gi = pidx + sneg.astype(jnp.int32) * N
+        # gap keys (w*(H+1), zero digits) -> 0 for the rank machinery
+        sk_s = jnp.where(sk % (H + 1) == 0, 0, sk)
+        gi_s = gi
         if apad:
-            sk_s = jnp.concatenate(
-                [sk_s, jnp.zeros((apad,), jnp.int32)])
-            gi = jnp.concatenate([gi, jnp.zeros((apad,), jnp.int32)])
-        g = jnp.take(ptab, gi, axis=0)                 # (flat_pad, L)
-        st = g.T                                       # (L, flat_pad)
+            sk_s = jnp.concatenate([sk_s, jnp.zeros((apad,), jnp.int32)])
+            gi_s = jnp.concatenate([gi_s, jnp.zeros((apad,), jnp.int32)])
+        st = jnp.take(ptab, gi_s, axis=0).T            # (L, flat_pad)
         ck, cx, cy, cz = _affine_accumulate(pa, sk_s, st, nb, flat_pad,
                                             n_rounds=affine_rounds)
         S = ck.shape[0]
         r = max(1, _cdiv(N, 1 << affine_rounds))
-        K2 = 32
-        while r > 4:
+        if r > 4:
+            # relayout the stream survivors for the merge rounds
             M2 = _rup(_cdiv(S, K2), 128)
-            pad2 = M2 * K2 - S
-            if pad2:
-                ck = jnp.concatenate([ck, jnp.zeros((pad2,), ck.dtype)])
-                cx = jnp.pad(cx, ((0, 0), (0, pad2)))
-                cy = jnp.pad(cy, ((0, 0), (0, pad2)))
-                cz = jnp.pad(cz, ((0, 0), (0, pad2)))
-            kT = ck.reshape(M2, K2).T
-            xT = cx.reshape(L, M2, K2).transpose(2, 0, 1)
-            yT = cy.reshape(L, M2, K2).transpose(2, 0, 1)
-            zT = cz.reshape(L, M2, K2).transpose(2, 0, 1)
-            ekeys, ex, ey, ez = pec.merge_scan(kT, xT, yT, zT)
-            r = _cdiv(r, K2) + 1
-            S = min(M2 * (K2 + 1), M2 + nb)
-            ck, (cx, cy, cz) = _compact_gather(ekeys, [ex, ey, ez], S)
+            tot = K2 * M2
+            if tot > S:
+                ck = jnp.concatenate(
+                    [ck, jnp.zeros((tot - S,), ck.dtype)])
+                cx = jnp.pad(cx, ((0, 0), (0, tot - S)))
+                cy = jnp.pad(cy, ((0, 0), (0, tot - S)))
+                cz = jnp.pad(cz, ((0, 0), (0, tot - S)))
+            j = jnp.arange(tot, dtype=jnp.int32)
+            perm = (j % M2) * K2 + (j // M2)
+            kT = jnp.take(ck, perm).reshape(K2, M2)
+            xT = jnp.take(cx, perm, axis=1).reshape(L, K2, M2) \
+                .swapaxes(0, 1)
+            yT = jnp.take(cy, perm, axis=1).reshape(L, K2, M2) \
+                .swapaxes(0, 1)
+            zT = jnp.take(cz, perm, axis=1).reshape(L, K2, M2) \
+                .swapaxes(0, 1)
+            ex, ey, ez = pec.merge_scan(kT, xT, yT, zT)
+            ck, cx, cy, cz = _merge_rounds(
+                pec, kT, ex, ey, ez, K2, M2, nb, H, _cdiv(r, K2) + 1, K2)
         return _msm_tail(group, pec, ck, cx, cy, cz, c, W, H, nb,
                          combine)
 
-    if packed:
-        Lh = L // 2
-        pxp = _pack16(px)
-        ptab = jnp.concatenate([
-            jnp.concatenate([pxp, _pack16(py)], axis=1),
-            jnp.concatenate([pxp, _pack16(_neg_std(F, py))], axis=1)],
-            axis=0)                                    # (2N, L)
-        g = jnp.take(ptab, pidx + sneg.astype(jnp.int32) * N, axis=0)
-        sT = g.reshape(M, K, L).transpose(1, 2, 0)     # (K, L, M)
-        sxT, syT = sT, None
-    else:
-        gx = jnp.take(px, pidx, axis=0)                # (M*K, L)
-        gy = jnp.take(py, pidx, axis=0)
-        gy = lb.cselect(sneg & (sk > 0), _neg_std(F, gy), gy)
-        sxT = gx.reshape(M, K, L).transpose(1, 2, 0)
-        syT = gy.reshape(M, K, L).transpose(1, 2, 0)
+    # ---- Jacobian flush path --------------------------------------------
     skT = sk.reshape(M, K).T
+    if packed:
+        g = jnp.take(ptab, gi, axis=0)                 # (M*K, L)
+        st = g.reshape(M, K, L).transpose(1, 2, 0)     # (K, L, M)
+        ex, ey, ez = pec.flush_scan(skT, st, None, packed=True)
+    else:
+        tabX = jnp.concatenate([px, px], axis=0)       # (2N, L)
+        tabY = jnp.concatenate([py, _neg_std(F, py)], axis=0)
+        gx = jnp.take(tabX, gi, axis=0).reshape(M, K, L).transpose(1, 2, 0)
+        gy = jnp.take(tabY, gi, axis=0).reshape(M, K, L).transpose(1, 2, 0)
+        ex, ey, ez = pec.flush_scan(skT, gx, gy, packed=False)
 
-    ekeys, ex, ey, ez = pec.flush_scan(skT, sxT, syT, packed=packed)
-
-    nb = W * (H + 1)
-    K2 = 32
-
-    # ---- compact + merge until <= 4 partials per bucket --------------------
-    # emissions <= runs + split boundaries <= nb + M (each of the M chunk
-    # boundaries splits at most one run)
     r = _cdiv(N, K) + 1
-    S = min(M * (K + 1), M + nb)
-    ck, (cx, cy, cz) = _compact_gather(ekeys, [ex, ey, ez], S)
-    while r > 4:
-        M2 = _rup(_cdiv(S, K2), 128)
-        pad2 = M2 * K2 - S
-        if pad2:
-            ck = jnp.concatenate([ck, jnp.zeros((pad2,), ck.dtype)])
-            cx = jnp.pad(cx, ((0, 0), (0, pad2)))
-            cy = jnp.pad(cy, ((0, 0), (0, pad2)))
-            cz = jnp.pad(cz, ((0, 0), (0, pad2)))
-        kT = ck.reshape(M2, K2).T
-        xT = cx.reshape(L, M2, K2).transpose(2, 0, 1)
-        yT = cy.reshape(L, M2, K2).transpose(2, 0, 1)
-        zT = cz.reshape(L, M2, K2).transpose(2, 0, 1)
-        ekeys, ex, ey, ez = pec.merge_scan(kT, xT, yT, zT)
-        r = _cdiv(r, K2) + 1
-        S = min(M2 * (K2 + 1), M2 + nb)
-        ck, (cx, cy, cz) = _compact_gather(ekeys, [ex, ey, ez], S)
-
+    ck, cx, cy, cz = _merge_rounds(
+        pec, skT, ex, ey, ez, K, M, nb, H, r, K2)
     return _msm_tail(group, pec, ck, cx, cy, cz, c, W, H, nb, combine)
 
 

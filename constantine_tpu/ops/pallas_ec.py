@@ -42,6 +42,13 @@ from jax.experimental.pallas import tpu as pltpu
 MASK = np.uint32(0xFFFF)
 W = 16
 
+# Stream-scan kernels absorb this many sorted-stream entries per grid step.
+# 1 measured fastest on v5e (an unrolled 8-entry body regressed ~20%:
+# three (L, TB) accumulators live across the unrolled madds exceed the
+# register budget); K is still padded to a multiple of 8 so this can be
+# raised without caller changes.
+SCAN_STEP = 1
+
 
 def _interpret() -> bool:
     # On CPU backends (tests), run kernels through the Pallas interpreter.
@@ -396,7 +403,10 @@ class PallasEC:
     def flush_scan(self, keys, qx, qy, TB: int = None, packed: bool = False):
         """Bucket-accumulation flush scan over a key-sorted stream.
 
-        keys: (K, M) int32 — lane m sweeps keys[:, m] sequentially.
+        keys: (K, M) int32 — lane m sweeps keys[:, m] sequentially; K must
+        be a multiple of 8 (the kernel absorbs 8 stream entries per grid
+        step via an (8, L, TB) block, so every per-entry read/write is a
+        full aligned (L, TB) tile and per-step grid overhead is amortized).
         With packed=True, qx is a single fused stream (K, L, M) whose rows
         0..L/2-1 are the packed x digits (two 16-bit digits per u32, digit
         2i in the low half of row i) and rows L/2..L-1 the packed y digits
@@ -404,15 +414,22 @@ class PallasEC:
         VMEM, halving the HBM read traffic of the dominant input stream,
         and the caller needs only ONE wide gather for all point data.
         With packed=False, qx/qy are (K, L, M) unpacked x and y streams.
-        Returns (ekeys (K+1, M) int32, ex, ey, ez (K+1, L, M)):
-        rows 0..K-1 are run-boundary emissions (key == -1 where no
-        emission), row K holds each lane's final accumulator with its key.
+
+        Returns (ex, ey, ez) (K, L, M): slot (k, m) holds lane m's
+        accumulator AFTER absorbing stream entry k. The last slot of each
+        key-run therefore holds the full lane-local run sum, and run
+        boundaries are recoverable from the sorted input keys alone (key
+        change within the lane, or k == K-1) — the kernel emits no key or
+        final planes; the caller compacts with masks/positions it computes
+        itself (msm_tpu._compact_from_sorted / _compact_mask_gather).
 
         TPU-native replacement for the reference's CycloneMSM scheduler
         (ec_multi_scalar_mul_scheduler.nim:301-618): collision freedom
         comes from the sort, partial sums merge downstream.
         """
+        ST = SCAN_STEP                                # entries per grid step
         K, M0 = keys.shape
+        assert K % ST == 0, (K, ST)
         M = M0
         L = self.L
         Lh = L // 2
@@ -440,74 +457,58 @@ class PallasEC:
         if ckey not in self._cache:
             def kern(*refs):
                 if packed:
-                    (k_ref, xy_ref, c_ref, ek_ref, ex_ref, ey_ref,
-                     ez_ref, fk_ref, fx_ref, fy_ref, fz_ref,
+                    (k_ref, xy_ref, c_ref, ex_ref, ey_ref, ez_ref,
                      t_ref, dbl_ref, acc_ref, key_ref) = refs
                 else:
-                    (k_ref, x_ref, y_ref, c_ref, ek_ref, ex_ref, ey_ref,
-                     ez_ref, fk_ref, fx_ref, fy_ref, fz_ref,
+                    (k_ref, x_ref, y_ref, c_ref, ex_ref, ey_ref, ez_ref,
                      t_ref, dbl_ref, acc_ref, key_ref) = refs
-                k = pl.program_id(1)
+                k8 = pl.program_id(1)
                 kf = self._kf(c_ref, t_ref)
 
-                @pl.when(k == 0)
+                @pl.when(k8 == 0)
                 def _():
                     acc_ref[0] = kf.one(TB)
                     acc_ref[1] = kf.one(TB)
                     acc_ref[2] = kf.zero(TB)
                     key_ref[:, :] = jnp.full((8, TB), -1, jnp.int32)
 
-                kk = k_ref[0, 0, :]
-                if packed:
-                    X2 = unpack(xy_ref[0, :Lh, :])
-                    Y2 = unpack(xy_ref[0, Lh:, :])
-                else:
-                    X2 = x_ref[0]
-                    Y2 = y_ref[0]
+                aX, aY, aZ = acc_ref[0], acc_ref[1], acc_ref[2]
                 cur = key_ref[0, :]
-                same = kk == cur
-                # emit previous accumulator at run boundaries
-                ek_ref[0, 0, :] = jnp.where(same, -1, cur)
-                ex_ref[0] = acc_ref[0]
-                ey_ref[0] = acc_ref[1]
-                ez_ref[0] = acc_ref[2]
-                # grown = acc + Q ; fresh = Q (new run)
-                gX, gY, gZ = kf.ec_madd(acc_ref[0], acc_ref[1], acc_ref[2],
-                                        X2, Y2, dbl_ref)
                 one = kf.one(TB)
-                acc_ref[0] = kf.sel(same, gX, X2)
-                acc_ref[1] = kf.sel(same, gY, Y2)
-                acc_ref[2] = kf.sel(same, gZ, one)
-                key_ref[0, :] = kk
-                # lane finals (last write wins at k == K-1)
-                fk_ref[0, 0, :] = kk
-                fx_ref[0] = acc_ref[0]
-                fy_ref[0] = acc_ref[1]
-                fz_ref[0] = acc_ref[2]
+                for j in range(ST):
+                    kk = k_ref[j, 0, :]
+                    if packed:
+                        X2 = unpack(xy_ref[j, :Lh, :])
+                        Y2 = unpack(xy_ref[j, Lh:, :])
+                    else:
+                        X2 = x_ref[j]
+                        Y2 = y_ref[j]
+                    same = kk == cur
+                    # grown = acc + Q ; fresh = Q (new run)
+                    gX, gY, gZ = kf.ec_madd(aX, aY, aZ, X2, Y2, dbl_ref)
+                    aX = kf.sel(same, gX, X2)
+                    aY = kf.sel(same, gY, Y2)
+                    aZ = kf.sel(same, gZ, one)
+                    cur = kk
+                    ex_ref[j] = aX
+                    ey_ref[j] = aY
+                    ez_ref[j] = aZ
+                acc_ref[0], acc_ref[1], acc_ref[2] = aX, aY, aZ
+                key_ref[0, :] = cur
 
-            grid = (M // TB, K)
-            kspec = pl.BlockSpec((1, 1, TB), lambda m, k: (k, 0, m),
+            grid = (M // TB, K // ST)
+            kspec = pl.BlockSpec((ST, 1, TB), lambda m, k: (k, 0, m),
                                  memory_space=pltpu.VMEM)
-            inspec = pl.BlockSpec((1, L, TB), lambda m, k: (k, 0, m),
+            inspec = pl.BlockSpec((ST, L, TB), lambda m, k: (k, 0, m),
                                   memory_space=pltpu.VMEM)
-            pspec = pl.BlockSpec((1, L, TB), lambda m, k: (k, 0, m),
-                                 memory_space=pltpu.VMEM)
-            fkspec = pl.BlockSpec((1, 1, TB), lambda m, k: (0, 0, m),
-                                  memory_space=pltpu.VMEM)
-            fspec = pl.BlockSpec((1, L, TB), lambda m, k: (0, 0, m),
-                                 memory_space=pltpu.VMEM)
             fn = pl.pallas_call(
                 kern,
                 grid=grid,
                 in_specs=[kspec] + [inspec] * n_in
                 + [pl.BlockSpec((2, L, 128), lambda m, k: (0, 0, 0),
                                 memory_space=pltpu.VMEM)],
-                out_specs=[kspec, pspec, pspec, pspec,
-                           fkspec, fspec, fspec, fspec],
-                out_shape=[jax.ShapeDtypeStruct((K, 1, M), jnp.int32)]
-                + [jax.ShapeDtypeStruct((K, L, M), jnp.uint32)] * 3
-                + [jax.ShapeDtypeStruct((1, 1, M), jnp.int32)]
-                + [jax.ShapeDtypeStruct((1, L, M), jnp.uint32)] * 3,
+                out_specs=[inspec, inspec, inspec],
+                out_shape=[jax.ShapeDtypeStruct((K, L, M), jnp.uint32)] * 3,
                 scratch_shapes=[pltpu.VMEM((2 * L + 1, TB), jnp.uint32),
                                 pltpu.VMEM((3, L, TB), jnp.uint32),
                                 pltpu.VMEM((3, L, TB), jnp.uint32),
@@ -516,20 +517,19 @@ class PallasEC:
             )
             self._cache[ckey] = jax.jit(fn)
         ins = (keys, qx) if packed else (keys, qx, qy)
-        ek, ex, ey, ez, fk, fx, fy, fz = self._cache[ckey](
-            *ins, self._consts)
-        ek, fk = ek[:, 0, :], fk[:, 0, :]
-        ekeys = jnp.concatenate([ek, fk], axis=0)[:, :M0]
-        ex = jnp.concatenate([ex, fx], axis=0)[:, :, :M0]
-        ey = jnp.concatenate([ey, fy], axis=0)[:, :, :M0]
-        ez = jnp.concatenate([ez, fz], axis=0)[:, :, :M0]
-        return ekeys, ex, ey, ez
+        ex, ey, ez = self._cache[ckey](*ins, self._consts)
+        return ex[:, :, :M0], ey[:, :, :M0], ez[:, :, :M0]
 
     def merge_scan(self, keys, qx, qy, qz, TB: int = None):
         """Like flush_scan but the stream entries are Jacobian partial sums
-        (merging pass over flush emissions). Entries with key <= 0 are
-        treated as neutral padding."""
+        (merging pass over compacted flush emissions). keys (K, M) with
+        K % 8 == 0; qx, qy, qz (K, L, M). Entries with key <= 0 are
+        neutral padding. Returns (ex, ey, ez) (K, L, M) post-step
+        accumulators (same emission contract as flush_scan: last slot of
+        each run = run sum)."""
+        ST = SCAN_STEP
         K, M0 = keys.shape
+        assert K % ST == 0, (K, ST)
         M = M0
         L = self.L
         TB = TB or self.block
@@ -544,49 +544,43 @@ class PallasEC:
 
         ckey = ("merge", K, M, TB)
         if ckey not in self._cache:
-            def kern(k_ref, x_ref, y_ref, z_ref, c_ref, ek_ref, ex_ref,
-                     ey_ref, ez_ref, fk_ref, fx_ref, fy_ref, fz_ref,
+            def kern(k_ref, x_ref, y_ref, z_ref, c_ref,
+                     ex_ref, ey_ref, ez_ref,
                      t_ref, dbl_ref, acc_ref, key_ref):
-                k = pl.program_id(1)
+                k8 = pl.program_id(1)
                 kf = self._kf(c_ref, t_ref)
 
-                @pl.when(k == 0)
+                @pl.when(k8 == 0)
                 def _():
                     acc_ref[0] = kf.one(TB)
                     acc_ref[1] = kf.one(TB)
                     acc_ref[2] = kf.zero(TB)
                     key_ref[:, :] = jnp.full((8, TB), -1, jnp.int32)
 
-                kk = k_ref[0, 0, :]
-                X2, Y2, Z2 = x_ref[0], y_ref[0], z_ref[0]
-                # neutralize padding entries (key <= 0)
-                padm = kk <= 0
-                Z2 = kf.sel(padm, kf.zero(TB), Z2)
+                aX, aY, aZ = acc_ref[0], acc_ref[1], acc_ref[2]
                 cur = key_ref[0, :]
-                same = kk == cur
-                ek_ref[0, 0, :] = jnp.where(same, -1, cur)
-                ex_ref[0] = acc_ref[0]
-                ey_ref[0] = acc_ref[1]
-                ez_ref[0] = acc_ref[2]
-                gX, gY, gZ = kf.ec_add(acc_ref[0], acc_ref[1], acc_ref[2],
-                                       X2, Y2, Z2, dbl_ref)
-                acc_ref[0] = kf.sel(same, gX, X2)
-                acc_ref[1] = kf.sel(same, gY, Y2)
-                acc_ref[2] = kf.sel(same, gZ, Z2)
-                key_ref[0, :] = kk
-                fk_ref[0, 0, :] = kk
-                fx_ref[0] = acc_ref[0]
-                fy_ref[0] = acc_ref[1]
-                fz_ref[0] = acc_ref[2]
+                for j in range(ST):
+                    kk = k_ref[j, 0, :]
+                    X2, Y2, Z2 = x_ref[j], y_ref[j], z_ref[j]
+                    # neutralize padding entries (key <= 0)
+                    padm = kk <= 0
+                    Z2 = kf.sel(padm, kf.zero(TB), Z2)
+                    same = kk == cur
+                    gX, gY, gZ = kf.ec_add(aX, aY, aZ, X2, Y2, Z2, dbl_ref)
+                    aX = kf.sel(same, gX, X2)
+                    aY = kf.sel(same, gY, Y2)
+                    aZ = kf.sel(same, gZ, Z2)
+                    cur = kk
+                    ex_ref[j] = aX
+                    ey_ref[j] = aY
+                    ez_ref[j] = aZ
+                acc_ref[0], acc_ref[1], acc_ref[2] = aX, aY, aZ
+                key_ref[0, :] = cur
 
-            grid = (M // TB, K)
-            kspec = pl.BlockSpec((1, 1, TB), lambda m, k: (k, 0, m),
+            grid = (M // TB, K // ST)
+            kspec = pl.BlockSpec((ST, 1, TB), lambda m, k: (k, 0, m),
                                  memory_space=pltpu.VMEM)
-            pspec = pl.BlockSpec((1, L, TB), lambda m, k: (k, 0, m),
-                                 memory_space=pltpu.VMEM)
-            fkspec = pl.BlockSpec((1, 1, TB), lambda m, k: (0, 0, m),
-                                  memory_space=pltpu.VMEM)
-            fspec = pl.BlockSpec((1, L, TB), lambda m, k: (0, 0, m),
+            pspec = pl.BlockSpec((ST, L, TB), lambda m, k: (k, 0, m),
                                  memory_space=pltpu.VMEM)
             fn = pl.pallas_call(
                 kern,
@@ -594,12 +588,8 @@ class PallasEC:
                 in_specs=[kspec, pspec, pspec, pspec,
                           pl.BlockSpec((2, L, 128), lambda m, k: (0, 0, 0),
                                        memory_space=pltpu.VMEM)],
-                out_specs=[kspec, pspec, pspec, pspec,
-                           fkspec, fspec, fspec, fspec],
-                out_shape=[jax.ShapeDtypeStruct((K, 1, M), jnp.int32)]
-                + [jax.ShapeDtypeStruct((K, L, M), jnp.uint32)] * 3
-                + [jax.ShapeDtypeStruct((1, 1, M), jnp.int32)]
-                + [jax.ShapeDtypeStruct((1, L, M), jnp.uint32)] * 3,
+                out_specs=[pspec, pspec, pspec],
+                out_shape=[jax.ShapeDtypeStruct((K, L, M), jnp.uint32)] * 3,
                 scratch_shapes=[pltpu.VMEM((2 * L + 1, TB), jnp.uint32),
                                 pltpu.VMEM((3, L, TB), jnp.uint32),
                                 pltpu.VMEM((3, L, TB), jnp.uint32),
@@ -607,14 +597,8 @@ class PallasEC:
                 interpret=_interpret(),
             )
             self._cache[ckey] = jax.jit(fn)
-        ek, ex, ey, ez, fk, fx, fy, fz = self._cache[ckey](
-            keys, qx, qy, qz, self._consts)
-        ek, fk = ek[:, 0, :], fk[:, 0, :]
-        ekeys = jnp.concatenate([ek, fk], axis=0)[:, :M0]
-        ex = jnp.concatenate([ex, fx], axis=0)[:, :, :M0]
-        ey = jnp.concatenate([ey, fy], axis=0)[:, :, :M0]
-        ez = jnp.concatenate([ez, fz], axis=0)[:, :, :M0]
-        return ekeys, ex, ey, ez
+        ex, ey, ez = self._cache[ckey](keys, qx, qy, qz, self._consts)
+        return ex[:, :, :M0], ey[:, :, :M0], ez[:, :, :M0]
 
     def bucket_reduce(self, bx, by, bz, T: int):
         """Weighted bucket reduction: inputs are bucket sums laid out as

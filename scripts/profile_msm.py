@@ -1,7 +1,8 @@
 """Stage-by-stage MSM profile on the real chip.
 
 Replicates msm_tpu's stages as separately-jitted functions and times each
-with block_until_ready, to find where the 134 ms goes.
+with a readback sync (block_until_ready does NOT wait for device
+completion on the axon tunnel backend — a 4-byte device_get does).
 """
 import os
 import sys
@@ -14,28 +15,34 @@ import jax.numpy as jnp
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from constantine_tpu.named.precompute import get_curve
-from constantine_tpu.ops import limbs as lb
 from constantine_tpu.ops.msm import _signed_digits
 from constantine_tpu.ops.msm_tpu import (
-    best_window_tpu, _cdiv, _rup, _pack16, _neg_std, _compact_gather)
+    best_window_tpu, _cdiv, _rup, _pack16, _neg_std, _sorted_stream,
+    _compact_mask_gather, msm_tpu)
 from constantine_tpu.ops.pallas_ec import get_pallas_ec
 
 
+def sync(o):
+    leaves = jax.tree_util.tree_leaves(o)
+    return np.asarray(jax.device_get(leaves[0].ravel()[:1]))
+
+
 def t(name, f, *args, reps=3, pipeline=4):
-    out = jax.block_until_ready(f(*args))
+    out = f(*args)
+    sync(out)
     ts = []
     for _ in range(reps):
         t0 = time.time()
         for _ in range(pipeline):
             out = f(*args)
-        jax.block_until_ready(out)
+        sync(out)
         ts.append((time.time() - t0) / pipeline)
-    print(f"{name:30s} {min(ts)*1e3:8.2f} ms")
+    print(f"{name:32s} {min(ts)*1e3:8.2f} ms", flush=True)
     return out
 
 
 def main():
-    N = 65536
+    N = int(os.environ.get("N", 65536))
     ctx = get_curve("BLS12_381")
     group = ctx.g1
     F = group.F
@@ -43,10 +50,6 @@ def main():
     rng = np.random.default_rng(42)
     print("devices:", jax.devices())
 
-    # fake but valid-shaped points: use the generator broadcast (values
-    # irrelevant for timing; same op counts since the law is branch-free
-    # except @pl.when doubling which we want OFF -> use distinct points:
-    # generate k*G quickly for k in 1..N via scalar_mul on device
     ks = jnp.asarray(ctx.scalars_to_limbs(
         [int(v) for v in rng.integers(1, 2**62, size=N)]))
     G = group.from_affine(tuple(
@@ -54,82 +57,72 @@ def main():
     t0 = time.time()
     pts = group.scalar_mul(ks, G, scalar_bits=64)
     (px, py), _ = group.to_affine(pts)
-    px.block_until_ready()
+    sync(px)
     print(f"point generation: {time.time()-t0:.1f}s")
 
-    hi = rng.integers(0, 2**64, size=(N, 3), dtype=np.uint64)
-    full = [int(a) | (int(b[0]) << 64) | (int(b[1]) << 128) | (int(b[2]) << 192)
-            for a, b in zip(rng.integers(0, 2**64, size=N, dtype=np.uint64), hi)]
-    scalars = jnp.asarray(ctx.scalars_to_limbs([v % ctx.r for v in full]))
+    sc = [int.from_bytes(rng.bytes(32), "big") % ctx.r for _ in range(N)]
+    scalars = jnp.asarray(ctx.scalars_to_limbs(sc))
 
     bits = 255
-    c = best_window_tpu(N, bits)
+    c = int(os.environ.get("C", 0)) or best_window_tpu(N, bits)
     W = _cdiv(bits + 1, c)
     H = 1 << (c - 1)
-    print(f"c={c} W={W} H={H} flat={W*N}")
-
     block = 512
     pec = get_pallas_ec(F, block)
+    flat = W * N
+    K0 = max(8, _cdiv(N, 64))
+    M = _rup(_cdiv(flat, K0), block)
+    K = _rup(_cdiv(flat, M), 8)
+    print(f"c={c} W={W} flat={flat} K={K} M={M}")
 
-    # stage 1: digits
     dig = t("digits", jax.jit(lambda s: _signed_digits(s, c, W)), scalars)
+    sk, gi = t("sorted_stream",
+               jax.jit(lambda d: _sorted_stream(d, c, W, H, N)), dig)
 
-    # stage 2: keys + sort + gather
     @jax.jit
-    def sort_gather(digits, px, py):
-        widx = jax.lax.broadcasted_iota(jnp.int32, (W, N), 0)
-        keys = jnp.where(digits == 0, 0,
-                         widx * (H + 1) + jnp.abs(digits)).reshape(-1)
-        neg = (digits < 0).reshape(-1)
-        flat = W * N
-        K0 = max(8, _cdiv(N, 64))
-        M = _rup(_cdiv(flat, K0), block)
-        K = _cdiv(flat, M)
-        pad = M * K - flat
-        if pad:
-            keys = jnp.concatenate([keys, jnp.zeros((pad,), keys.dtype)])
-            neg = jnp.concatenate([neg, jnp.zeros((pad,), neg.dtype)])
-        order = jnp.argsort(keys)
-        sk = keys[order]
-        pidx = order % N
-        sneg = neg[order]
+    def mktab(px, py):
         pxp = _pack16(px)
-        ptab = jnp.concatenate([
+        return jnp.concatenate([
             jnp.concatenate([pxp, _pack16(py)], axis=1),
-            jnp.concatenate([pxp, _pack16(_neg_std(F, py))], axis=1)], 0)
-        g = jnp.take(ptab, pidx + sneg.astype(jnp.int32) * N, axis=0)
-        sT = g.reshape(M, K, L).transpose(1, 2, 0)
-        skT = sk.reshape(M, K).T
-        return skT, sT
+            jnp.concatenate([pxp, _pack16(_neg_std(F, py))], axis=1)],
+            axis=0)
+    ptab = t("build table (2N, L)", mktab, px, py)
+
+    pad = M * K - flat
+
+    nb = W * (H + 1)
 
     @jax.jit
-    def sort_only(digits):
-        widx = jax.lax.broadcasted_iota(jnp.int32, (W, N), 0)
-        keys = jnp.where(digits == 0, 0,
-                         widx * (H + 1) + jnp.abs(digits)).reshape(-1)
-        return jnp.argsort(keys)
+    def gath(tb, gi, sk):
+        if pad:
+            sk2 = jnp.concatenate(
+                [sk, jnp.full((pad,), nb + 1, sk.dtype)])
+            gi2 = jnp.concatenate([gi, jnp.zeros((pad,), gi.dtype)])
+        else:
+            sk2, gi2 = sk, gi
+        skT = sk2.reshape(M, K).T
+        g = jnp.take(tb, gi2, axis=0)
+        st = g.reshape(M, K, L).transpose(1, 2, 0)
+        return sk2, skT, st
+    skf, skT, st = t("gather+transpose (K,L,M)", gath, ptab, gi, sk)
 
-    t("argsort only", sort_only, dig)
-    skT, sxT, syT = t("sort+gather+transpose", sort_gather, dig, px, py)
-    K, _, M = sxT.shape
-    print(f"  K={K} M={M}")
+    flush = jax.jit(lambda k, x: pec.flush_scan(k, x, None, packed=True))
+    ex, ey, ez = t("flush_scan", flush, skT, st)
 
-    # stage 3: flush scan
-    flush = jax.jit(lambda k, x, y: pec.flush_scan(k, x, y, packed=True))
-    ekeys, ex, ey, ez = t("flush_scan", flush, skT, sxT, syT)
+    K2 = 32
+    Sb = M + nb
+    M2 = _rup(_cdiv(Sb, K2), 128)
+    comp = jax.jit(lambda k, x, y, z: _compact_mask_gather(
+        k, [x, y, z], None, nb, H, shape2=(K2, M2)))
+    kT, (xT, yT, zT) = t("compact_mask_gather", comp, skT, ex, ey, ez)
+    print(f"  Sb={Sb} M2={M2}")
 
-    # stage 4: compaction
-    nb = W * (H + 1)
-    S = min(M * (K + 1), M + nb)
-    comp = jax.jit(lambda ek, x, y, z: _compact_gather(ek, [x, y, z], S))
-    ck, cvs = t("compact_gather", comp, ekeys, ex, ey, ez)
-    print(f"  S={S}")
-
-    # stage 5+: remainder (tree rounds + scatter + bucket reduce + combine)
-    from constantine_tpu.ops.msm_tpu import msm_tpu
+    merge = jax.jit(pec.merge_scan)
+    t("merge_scan", merge, kT, xT, yT, zT)
 
     def full(pxa, pya, s):
-        return msm_tpu(group, (pxa, pya), s, scalar_bits=bits)
+        return msm_tpu(group, (pxa, pya), s, scalar_bits=bits,
+                       c=c if os.environ.get("C") else None)
     fullj = jax.jit(full)
     t("FULL msm_tpu", fullj, px, py, scalars, reps=3, pipeline=4)
 

@@ -24,26 +24,36 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _sync(out):
+    """Force device completion: block_until_ready does NOT wait for
+    execution on the axon tunnel backend (verified: dependent-chain
+    kernels "finish" below the HBM bandwidth floor) — a 4-byte readback
+    does."""
+    import jax
+    import numpy as _np
+    leaves = jax.tree_util.tree_leaves(out)
+    _np.asarray(jax.device_get(leaves[0].ravel()[:1]))
+    return out
+
+
 def _time(f, reps, pipeline: int = 8):
     """Per-op time with `pipeline` async dispatches per measurement.
 
-    On this setup the TPU sits behind a tunnel with ~24 ms RTT per
-    synchronous round trip; queueing K dispatches before blocking measures
+    On this setup the TPU sits behind a tunnel with ~25 ms RTT per
+    synchronous round trip; queueing K dispatches before syncing measures
     device throughput (the quantity the reference's ops/s numbers report)
     instead of link latency. Single-op latency is also logged.
     """
-    import jax
-    out = f()
-    jax.block_until_ready(out)
+    _sync(f())
     t0 = time.time()
-    jax.block_until_ready(f())
+    _sync(f())
     log(f"single-dispatch latency (incl link RTT): {(time.time()-t0)*1e3:.1f} ms")
     ts = []
     for _ in range(reps):
         t0 = time.time()
         for _ in range(pipeline):
             out = f()
-        jax.block_until_ready(out)
+        _sync(out)
         ts.append((time.time() - t0) / pipeline)
     return min(ts)
 

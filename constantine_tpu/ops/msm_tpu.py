@@ -233,21 +233,28 @@ def _compact_mask_gather(skT, coords, S, nb, H, shape2=None):
     nxt = jnp.concatenate([skT[1:], jnp.full((1, M), -1, skT.dtype)],
                           axis=0)
     real = (skT != nxt) & (skT > 0) & (skT <= nb) & (skT % (H + 1) != 0)
-    realT = real.T.reshape(-1)                 # m-major stream order
-    keysT = skT.T.reshape(-1)
-    pos = jnp.cumsum(realT.astype(jnp.int32)) - 1
+    # global stream rank via 2-level prefix sums (within-lane cumsum is
+    # lane-vectorized; a flat cumsum over K*M is measurably slower) — no
+    # transposes of the big planes anywhere.
+    ri = real.astype(jnp.int32)
+    incl = jnp.cumsum(ri, axis=0)              # (K, M) within-lane
+    tot = incl[-1]
+    off = jnp.cumsum(tot) - tot                # exclusive lane offsets
+    pos = off[None, :] + incl - 1              # global stream rank
     if shape2 is not None:
         K2, M2 = shape2
         S = K2 * M2
         pos = (pos % K2) * M2 + (pos // K2)
-    pos = jnp.where(realT, pos, S)
-    sid = jnp.arange(M * K, dtype=jnp.int32)
+    pos = jnp.where(real, pos, S).reshape(-1)
+    kk = jax.lax.broadcasted_iota(jnp.int32, (K, M), 0)
+    mm = jax.lax.broadcasted_iota(jnp.int32, (K, M), 1)
+    sid = (kk * M + mm).reshape(-1)            # k-major linear slot id
     src = jnp.full((S,), -1, jnp.int32).at[pos].set(sid, mode="drop")
     good = src >= 0
     src = jnp.maximum(src, 0)
-    ck = jnp.where(good, jnp.take(keysT, src), 0)
-    m_i = src // K
-    k_i = src - m_i * K
+    ck = jnp.where(good, jnp.take(skT.reshape(-1), src), 0)
+    k_i = src // M
+    m_i = src - k_i * M
     outs = [cv[k_i, :, m_i] for cv in coords]  # (S, L)
     if shape2 is not None:
         return (ck.reshape(K2, M2),
@@ -285,6 +292,7 @@ def msm_tpu(group, points_aff, scalars, c: int = None,
     MSMs over a shared table (one result per row) rather than windows."""
     import os
     F = group.F
+    block = int(os.environ.get("CTT_MSM_BLOCK", block))
     pec = get_pallas_ec(F, block)
     L = F.L
     px, py = points_aff
@@ -444,24 +452,53 @@ def _msm_tail(group, pec, ck, cx, cy, cz, c, W, H, nb, combine):
     # per chunk: run = sum_h-in-chunk B, wsum = sum (h%T) * B
     # window sum S_w = sum_c [ (c*T)*run_c + wsum_c + run_c ]
     #              = T * A_w + WS_w + R_w
-    # A_w = sum_c c*run_c  (level-2 weighted pass, chunks reversed so the
-    # kernel's descending local weight equals c), R_w = sum_c run_c,
-    # WS_w = sum_c wsum_c.
-    def to_lvl2(x, rev):
-        v = x.reshape(L, W, C)
-        if rev:
-            v = v[:, :, ::-1]
-        return v.transpose(2, 0, 1)                    # (C, L, W)
+    # with A_w = sum_c c*run_c, R_w = sum_c run_c, WS_w = sum_c wsum_c.
+    # Level 2 runs LOG-depth over the C chunk lanes of each window (the
+    # serial bucket_reduce kernel at C steps x W lanes wastes ~96% of the
+    # VPU here): inclusive suffix scan S_k = sum_{j>=k} run_j gives
+    # R_w = S_0 and A_w = sum_{k>=1} S_k, each a masked-roll add tree.
+    n2 = W * C
+    cpos = np.arange(n2) % C
 
-    (r2X, r2Y, r2Z), (a2X, a2Y, a2Z) = pec.bucket_reduce(
-        to_lvl2(rX, True), to_lvl2(rY, True), to_lvl2(rZ, True), C)
-    (s2X, s2Y, s2Z), _ = pec.bucket_reduce(
-        to_lvl2(wX, False), to_lvl2(wY, False), to_lvl2(wZ, False), C)
+    def _roll_in(P, s, kill0=False):
+        """P + (P rolled -s lanes), rolled lanes crossing their window's
+        chunk block (or lane c=0 with kill0) neutralized via Z=0."""
+        ok = (cpos + s) < C
+        X, Y, Z = P
+        rX = jnp.roll(X, -s, axis=1)
+        rY = jnp.roll(Y, -s, axis=1)
+        rZ = jnp.where(jnp.asarray(ok)[None, :],
+                       jnp.roll(Z, -s, axis=1), jnp.uint32(0))
+        if kill0:
+            Z = jnp.where(jnp.asarray(cpos == 0)[None, :],
+                          jnp.uint32(0), Z)
+        return pec.add((X, Y, Z), (rX, rY, rZ))
+
+    S = (rX, rY, rZ)
+    s = 1
+    while s < C:
+        S = _roll_in(S, s)
+        s *= 2
+    A = _roll_in(S, 1, kill0=True)        # lane c: sum_{k>=c+?}.. see below
+    # A after one masked round starting from the suffix array with lane 0
+    # killed is NOT yet the full sum; finish the tree:
+    s = 2
+    while s < C:
+        A = _roll_in(A, s)
+        s *= 2
+    WS = (wX, wY, wZ)
+    s = 1
+    while s < C:
+        WS = _roll_in(WS, s)
+        s *= 2
+
+    def lane0(P):
+        return tuple(v.reshape(L, W, C)[:, :, 0] for v in P)
 
     logT = int(np.log2(T))
-    tA = pec.double_k((a2X, a2Y, a2Z), logT)           # (L, W)
-    t1 = pec.add(tA, (s2X, s2Y, s2Z))
-    wsum = pec.add(t1, (r2X, r2Y, r2Z))                # (L, W) window sums
+    tA = pec.double_k(lane0(A), logT)                  # (L, W)
+    t1 = pec.add(tA, lane0(WS))
+    wsum = pec.add(t1, lane0(S))                       # (L, W) window sums
 
     if not combine:
         # independent-MSM rows: return per-row sums, standard layout (W, L)

@@ -40,6 +40,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 MASK = np.uint32(0xFFFF)
+
+# Default 16MB scoped-vmem limit is too small for wide blocks (TB >= 2048).
+_CPARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
 W = 16
 
 # Stream-scan kernels absorb this many sorted-stream entries per grid step.
@@ -341,6 +344,7 @@ class PallasEC:
                 scratch_shapes=[pltpu.VMEM((2 * L + 1, TB), jnp.uint32),
                                 pltpu.VMEM((3, L, TB), jnp.uint32)],
                 interpret=_interpret(),
+                compiler_params=_CPARAMS,
             )
             self._cache[key] = jax.jit(fn)
         return self._cache[key]
@@ -514,6 +518,7 @@ class PallasEC:
                                 pltpu.VMEM((3, L, TB), jnp.uint32),
                                 pltpu.VMEM((8, TB), jnp.int32)],
                 interpret=_interpret(),
+                compiler_params=_CPARAMS,
             )
             self._cache[ckey] = jax.jit(fn)
         ins = (keys, qx) if packed else (keys, qx, qy)
@@ -595,6 +600,7 @@ class PallasEC:
                                 pltpu.VMEM((3, L, TB), jnp.uint32),
                                 pltpu.VMEM((8, TB), jnp.int32)],
                 interpret=_interpret(),
+                compiler_params=_CPARAMS,
             )
             self._cache[ckey] = jax.jit(fn)
         ex, ey, ez = self._cache[ckey](keys, qx, qy, qz, self._consts)
@@ -676,6 +682,7 @@ class PallasEC:
                                 pltpu.VMEM((3, L, TB), jnp.uint32),
                                 pltpu.VMEM((3, L, TB), jnp.uint32)],
                 interpret=_interpret(),
+                compiler_params=_CPARAMS,
             )
             self._cache[ckey] = jax.jit(fn)
         rx, ry, rz, wx, wy, wz = self._cache[ckey](bx, by, bz, self._consts)
@@ -740,6 +747,7 @@ class PallasEC:
                 scratch_shapes=[pltpu.VMEM((2 * L + 1, TB), jnp.uint32),
                                 pltpu.VMEM((3, L, TB), jnp.uint32)],
                 interpret=_interpret(),
+                compiler_params=_CPARAMS,
             )
             self._cache[ckey] = jax.jit(fn)
         ox, oy, oz = self._cache[ckey](X, Y, Z, self._consts)
@@ -870,6 +878,7 @@ class PallasAffine:
                            jax.ShapeDtypeStruct((1, m), jnp.int32)],
                 scratch_shapes=[pltpu.VMEM((2 * L + 1, TB), jnp.uint32)],
                 interpret=_interpret(),
+                compiler_params=_CPARAMS,
             )
             self._cache[ck] = jax.jit(fn)
         d, case = self._cache[ck](lhs_st, par_st, meta, self.pec._consts)
@@ -915,6 +924,7 @@ class PallasAffine:
                 scratch_shapes=[pltpu.VMEM((2 * L + 1, TB), jnp.uint32),
                                 pltpu.VMEM((L, TB), jnp.uint32)],
                 interpret=_interpret(),
+                compiler_params=_CPARAMS,
             )
             self._cache[ck] = jax.jit(fn)
         pe, bp = self._cache[ck](dC, self.pec._consts)
@@ -965,6 +975,7 @@ class PallasAffine:
                 out_shape=jax.ShapeDtypeStruct((Lh, Wd), jnp.uint32),
                 scratch_shapes=[pltpu.VMEM((2 * L + 1, TB), jnp.uint32)],
                 interpret=_interpret(),
+                compiler_params=_CPARAMS,
             )
             self._cache[ck] = jax.jit(fn)
         out = self._cache[ck](xpack, self._fermat_bits, self.pec._consts)
@@ -1030,6 +1041,7 @@ class PallasAffine:
                 scratch_shapes=[pltpu.VMEM((2 * L + 1, TB), jnp.uint32),
                                 pltpu.VMEM((L, TB), jnp.uint32)],
                 interpret=_interpret(),
+                compiler_params=_CPARAMS,
             )
             self._cache[ck] = jax.jit(fn)
         return self._cache[ck](pe, dC, bpinv[None], self.pec._consts)
@@ -1111,6 +1123,7 @@ class PallasAffine:
                                 pltpu.VMEM((L, TB), jnp.uint32),
                                 pltpu.VMEM((L, TB), jnp.uint32)],
                 interpret=_interpret(),
+                compiler_params=_CPARAMS,
             )
             self._cache[ck] = jax.jit(fn)
         st3, inf = self._cache[ck](pe, dC, bpinv[None], stC, spC, caseC,

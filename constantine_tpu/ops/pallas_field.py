@@ -21,6 +21,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Default 16MB scoped-vmem limit is too small for wide blocks (TB >= 2048).
+_CPARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
+
 from .limbs import MASK, WORD_BITS
 
 
@@ -96,6 +99,7 @@ class PallasMontMul:
                 out_specs=pl.BlockSpec((L, TB), lambda i: (0, i),
                                        memory_space=pltpu.VMEM),
                 out_shape=jax.ShapeDtypeStruct((L, n), jnp.uint32),
+                compiler_params=_CPARAMS,
             )(aT, bT)
 
         self._run_t = jax.jit(run_t)

@@ -282,7 +282,7 @@ def msm_glv(ctx, points_aff, scalars, c: int = None, use_pallas: bool = None):
     pts = tuple(jnp.concatenate([a, b], axis=0) for a, b in zip(P1, P2))
     ks = jnp.concatenate([k1, k2], axis=0)
     return msm(ctx.g1, pts, ks, c=c, scalar_bits=glv.mini_bits,
-               use_pallas=use_pallas)
+               use_pallas=use_pallas, glv=False)
 
 
 def scalar_mul_glv(ctx, scalars, P_aff):

@@ -150,9 +150,40 @@ def _sum_all(group, vals, n: int):
     return tuple(v[0] for v in vals)
 
 
+@functools.lru_cache(maxsize=None)
+def _glv_for_group(group_name: str):
+    """GLV context for an ECGroup named '<curve>.G1', or None.
+
+    The reference applies the endomorphism split unconditionally for curves
+    that have one (ec_multi_scalar_mul.nim:459 withEndo); mirroring that,
+    the split is the DEFAULT here — halved window count halves the
+    bucket-side work (compaction, merge, bucket reduction, window combine)
+    while the flush-madd count stays constant."""
+    if not group_name.endswith(".G1"):
+        return None
+    try:
+        from .glv import get_glv
+        return get_glv(group_name[: -len(".G1")])
+    except Exception:
+        return None
+
+
+def _apply_glv(group, glv_ctx, points_aff, scalars):
+    """applyEndomorphism analogue (ec_multi_scalar_mul.nim:398-434):
+    N points x b-bit scalars -> 2N points x (b/2)-bit scalars."""
+    k1, n1, k2, n2 = glv_ctx.decompose(scalars)
+    px, py = points_aff
+    ex, ey = glv_ctx.endo((px, py))
+    P1 = group.aff_cneg(n1, (px, py))
+    P2 = group.aff_cneg(n2, (ex, ey))
+    pts = tuple(jnp.concatenate([a, b], axis=0) for a, b in zip(P1, P2))
+    ks = jnp.concatenate([k1, k2], axis=0)
+    return pts, ks, glv_ctx.mini_bits
+
+
 def msm(group, points_aff, scalars, c: int = None, scalar_bits: int = None,
         chunk: int = None, max_flat: int = 1 << 22, use_pallas: bool = None,
-        digits=None):
+        digits=None, glv: bool = None):
     """MSM: sum_i scalars[i] * P_i. Returns a Jacobian point (batch ()).
 
     group: ops.ec.ECGroup (G1 over Fp or G2 over Fp2)
@@ -169,14 +200,22 @@ def msm(group, points_aff, scalars, c: int = None, scalar_bits: int = None,
     the flattened stream (memory); larger inputs process window groups
     sequentially under lax.scan.
     """
+    import os
     F = group.F
     pts = tuple(points_aff) if isinstance(points_aff, (tuple, list)) \
         else (points_aff,)
+    # GLV endomorphism pre-split (default on, CTT_MSM_GLV=0 disables)
+    if glv is None:
+        glv = digits is None and os.environ.get("CTT_MSM_GLV", "1") != "0"
+    if glv and digits is None and scalars is not None:
+        glv_ctx = _glv_for_group(group.name)
+        if glv_ctx is not None:
+            pts, scalars, scalar_bits = _apply_glv(group, glv_ctx, pts,
+                                                   scalars)
     N = pts[0].shape[0] if scalars is None else scalars.shape[0]
     # Fused Pallas kernel path: G1 (base field, a=0) on an accelerator
     # backend. Tower fields (G2) and CPU runs keep the XLA formulation.
     if use_pallas is None:
-        import os
         use_pallas = (jax.default_backend() != "cpu"
                       or os.environ.get("CTT_MSM_PALLAS") == "1") \
             and not hasattr(F, "deg") and group.a_int == 0

@@ -262,6 +262,74 @@ def _compact_mask_gather(skT, coords, S, nb, H, shape2=None):
     return ck, [o.T for o in outs]
 
 
+def _compact_boundaries(pec, sk, skT, coords, K, M, nb, H, K2):
+    """Post-flush compaction WITHOUT dense scatters: the real emissions of
+    the flush scan are exactly
+      (a) for every bucket id, the slot holding its LAST stream entry —
+          found by binary search over the globally sorted key stream
+          (the sort that built the stream is reused as the index), and
+      (b) every lane's final slot (stream position m*K + K-1), kept only
+          when the lane's last run CONTINUES into the next lane (otherwise
+          its sum is already list (a)'s entry).
+    S = nb + M slots total (static), vs the K*M dense emission plane the
+    old path cumsum+scattered over — the scatter (4ns/index on v5e) and
+    the dense masks disappear.
+
+    Returns (kT (K2, M2), xT/yT/zT (K2, L, M2)) ready for merge_scan,
+    entries grouped by key (invalid slots carry key 0 = neutral).
+    """
+    L = pec.L
+    ex, ey, ez = coords
+    # (a) bucket ends
+    want = jnp.arange(1, nb + 1, dtype=sk.dtype)
+    # manual vectorized binary search (jnp.searchsorted lowers to a ~10ms
+    # monolith on this backend; 21 explicit gather rounds of nb indices
+    # cost ~2ms)
+    n_sk = sk.shape[0]
+    lo = jnp.zeros_like(want)
+    hi = jnp.full_like(want, n_sk)
+    for _ in range(max(1, (n_sk - 1).bit_length())):
+        mid = (lo + hi) >> 1
+        v = jnp.take(sk, jnp.minimum(mid, n_sk - 1))
+        right = (v <= want) & (mid < n_sk)
+        lo = jnp.where(right, mid + 1, lo)
+        hi = jnp.where(right, hi, mid)
+    pa = lo - 1
+    va = (pa >= 0) & (jnp.take(sk, jnp.maximum(pa, 0)) == want) \
+        & (want % (H + 1) != 0)
+    ka = jnp.where(va, want, 0)
+    pa = jnp.maximum(pa, 0)
+    ki_a = pa % K
+    mi_a = pa // K
+    # (b) lane ends whose run continues into the next lane
+    le_keys = skT[K - 1, :]
+    nxt_first = jnp.concatenate(
+        [skT[0, 1:], jnp.full((1,), -1, skT.dtype)])
+    vb = (le_keys > 0) & (le_keys <= nb) & (le_keys % (H + 1) != 0) \
+        & (nxt_first == le_keys)
+    kb = jnp.where(vb, le_keys, 0)
+    ki_b = jnp.full((M,), K - 1, jnp.int32)
+    mi_b = jnp.arange(M, dtype=jnp.int32)
+
+    keys = jnp.concatenate([ka, kb])
+    ki = jnp.concatenate([ki_a, ki_b])
+    mi = jnp.concatenate([mi_a, mi_b])
+    S = nb + M
+    keys, order = jax.lax.sort_key_val(keys, jnp.arange(S, dtype=jnp.int32))
+    ki = jnp.take(ki, order)
+    mi = jnp.take(mi, order)
+    vals = [cv[ki, :, mi] for cv in (ex, ey, ez)]      # (S, L) each
+
+    M2 = _rup(_cdiv(S, K2), 128)
+    pad = K2 * M2 - S
+    if pad:
+        keys = jnp.concatenate([keys, jnp.zeros((pad,), keys.dtype)])
+        vals = [jnp.pad(v, ((0, pad), (0, 0))) for v in vals]
+    kT = keys.reshape(M2, K2).T
+    xT, yT, zT = [v.reshape(M2, K2, L).transpose(1, 2, 0) for v in vals]
+    return kT, xT, yT, zT, M2
+
+
 def _merge_rounds(pec, keysP, ex, ey, ez, curK, curM, nb, H, r, K2=32):
     """Repeated compact + merge_scan until every bucket has <= 4 partials
     (the reach of _msm_tail's two tree rounds). Returns the final
@@ -399,9 +467,12 @@ def msm_tpu(group, points_aff, scalars, c: int = None,
         gy = jnp.take(tabY, gi, axis=0).reshape(M, K, L).transpose(1, 2, 0)
         ex, ey, ez = pec.flush_scan(skT, gx, gy, packed=False)
 
-    r = _cdiv(N, K) + 1
+    kT, xT, yT, zT, M2 = _compact_boundaries(
+        pec, sk, skT, (ex, ey, ez), K, M, nb, H, K2)
+    e2x, e2y, e2z = pec.merge_scan(kT, xT, yT, zT)
+    r = _cdiv(_cdiv(N, K) + 1, K2) + 1
     ck, cx, cy, cz = _merge_rounds(
-        pec, skT, ex, ey, ez, K, M, nb, H, r, K2)
+        pec, kT, e2x, e2y, e2z, K2, M2, nb, H, r, K2)
     return _msm_tail(group, pec, ck, cx, cy, cz, c, W, H, nb, combine)
 
 
@@ -431,7 +502,18 @@ def _msm_tail(group, pec, ck, cx, cy, cz, c, W, H, nb, combine):
     last = (ck != nxt) & (ck > 0)
 
     # ---- scatter into (T, L, W*C) bucket-reduce layout ---------------------
-    T = 1 << max(2, (c - 1) // 2)                      # chunk length (pow 2)
+    # T trades serial bucket_reduce steps against lane fill: lanes = W*H/T.
+    # Default picks the largest T that still fills >= 2048 lanes (VPU width
+    # x2 for pipelining); measured faster than the old sqrt split (T=32 ->
+    # 704 lanes left 2/3 of the VPU idle at c=12/GLV).
+    import os
+    T_env = os.environ.get("CTT_MSM_T")
+    if T_env:
+        T = int(T_env)
+    else:
+        T = 1 << max(2, (c - 1) // 2)
+        while T > 4 and W * (H // T) < 2048:
+            T //= 2
     C = _cdiv(H, T)
     assert C * T == H, (H, T, C)
     w_of = (ck - 1) // (H + 1)

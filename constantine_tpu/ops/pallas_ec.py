@@ -41,7 +41,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 MASK = np.uint32(0xFFFF)
 
-# Default 16MB scoped-vmem limit is too small for wide blocks (TB >= 2048).
+# Single shared CompilerParams for every kernel in the package (imported
+# by pallas_field too). The raised scoped-vmem limit matters only for wide
+# blocks (TB >= 2048); for the default TB=512 geometry the compiler's own
+# usage stays far below either bound, so one constant is safe everywhere.
 _CPARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
 W = 16
 

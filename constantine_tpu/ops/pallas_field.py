@@ -21,10 +21,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Default 16MB scoped-vmem limit is too small for wide blocks (TB >= 2048).
-_CPARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
-
 from .limbs import MASK, WORD_BITS
+# Shared compiler params (raised scoped-vmem limit) live in pallas_ec.
+from .pallas_ec import _CPARAMS
 
 
 def _mont_mul_kernel(L, p_limbs, m0, a_ref, b_ref, out_ref):

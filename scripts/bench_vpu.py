@@ -197,7 +197,11 @@ def mont_mul_reg(L, p_limbs, m0, a, b, prot=None):
         # rows 8q..8q+7 finalized (only their carry survives): drop them
         acc = pltpu.roll(acc, 24, 0)
         acc = jnp.concatenate([acc[:24], zero8], axis=0)
-    res = acc[:L]  # wait: after G rolls window is [8G, 8G+32) = [L, L+32)
+    # After the G roll-and-zero iterations the live accumulator window
+    # [8G, 8G+32) has been rotated down to rows [0, 32); rows [0, L) hold
+    # the (unnormalized) Montgomery result. Verified against host math by
+    # extra() below.
+    res = acc[:L]
     rows = [res[i, :] + (carry[0] if i == 0 else 0) for i in range(L)]
     for i in range(L - 1):
         c = rows[i] >> np.uint32(16)

@@ -129,13 +129,13 @@ class BLS12381Codec:
         return (xm, y), is_inf, valid
 
     def _g1_subgroup_check(self, x, y):
-        """[r]P == inf (generic CT check; the reference's endomorphism-
-        accelerated check — named/zoo_subgroups.nim — is a later optim)."""
+        """Endomorphism-accelerated membership test (Scott 2021):
+        phi(P) == [-u^2]P — two 64-bit ladders instead of a 255-bit [r]P
+        (named/zoo_subgroups.nim + bls12_381_subgroups.nim:170 analogue),
+        batched over all decoded points. Generic-curve fallback inside."""
+        from ..ops.subgroups import is_in_subgroup_g1
         ctx = self.ctx
-        n = x.shape[0]
-        P = ctx.g1.from_affine((x, y))
-        r_limbs = jnp.asarray(np.tile(lb.int_to_limbs(ctx.r, ctx.fr.L), (n, 1)))
-        return ctx.g1.is_inf(ctx.g1.scalar_mul(r_limbs, P))
+        return is_in_subgroup_g1(ctx, ctx.g1.from_affine((x, y)))
 
     def g1_compress_canonical(self, x_canon, y_big, inf_mask=None) -> bytes:
         """Host-side byte assembly from precomputed canonical x limbs and
@@ -221,11 +221,11 @@ class BLS12381Codec:
         return (xm, y), is_inf, valid
 
     def _g2_subgroup_check(self, x, y):
+        """psi(Q) == [u]Q (Scott 2021) — one 64-bit ladder + the
+        untwist-Frobenius-twist map, vs a 255-bit [r]Q ladder."""
+        from ..ops.subgroups import is_in_subgroup_g2
         ctx = self.ctx
-        n = x.shape[0]
-        P = ctx.g2.from_affine((x, y))
-        r_limbs = jnp.asarray(np.tile(lb.int_to_limbs(ctx.r, ctx.fr.L), (n, 1)))
-        return ctx.g2.is_inf(ctx.g2.scalar_mul(r_limbs, P))
+        return is_in_subgroup_g2(ctx, ctx.g2.from_affine((x, y)))
 
     def g2_compress(self, xy, inf_mask=None) -> bytes:
         fp2, fp = self.fp2, self.fp

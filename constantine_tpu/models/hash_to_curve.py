@@ -56,11 +56,21 @@ def expand_message_xmd(msg: bytes, dst: bytes, len_in_bytes: int) -> bytes:
 
 def hash_to_field(msgs, dst: bytes, count: int, m: int, p: int):
     """Batched hash_to_field: for each msg, count elements of GF(p^m).
-    Returns nested python ints [n_msgs][count][m] (host side; tiny)."""
+    Returns nested python ints [n_msgs][count][m] (host side; tiny).
+
+    For multi-message batches the expand_message_xmd chains run
+    lane-parallel on device (ops/sha256_jax.py) — the SIMD-SHA analogue
+    (h2c_hash_to_field.nim:56 + sha256_x86_shaext.nim); the final mod-p
+    of 4 small ints per message stays host-side."""
     L = 64
+    uniforms = None
+    if len(msgs) > 4:
+        from ..ops.sha256_jax import expand_message_xmd_batch
+        uniforms = expand_message_xmd_batch(msgs, dst, count * m * L)
     out = []
-    for msg in msgs:
-        uniform = expand_message_xmd(msg, dst, count * m * L)
+    for mi, msg in enumerate(msgs):
+        uniform = uniforms[mi] if uniforms is not None \
+            else expand_message_xmd(msg, dst, count * m * L)
         elems = []
         for i in range(count):
             coords = []

@@ -47,6 +47,13 @@ from .ops.scalar_mul import (                               # noqa: F401
 )
 from .ops.glv import GLV, get_glv, msm_glv, scalar_mul_glv  # noqa: F401
 from .ops.msm import msm, msm_jit, best_window_size         # noqa: F401
+from .ops.subgroups import (                                # noqa: F401
+    is_in_subgroup_g1, is_in_subgroup_g2,
+)
+from .ops import bigint_ap                                  # noqa: F401
+from .ops.sha256_jax import (                               # noqa: F401
+    sha256_batch, expand_message_xmd_batch,
+)
 from .ops.msm_precomp import PrecomputedMSM                 # noqa: F401
 from .ops.ntt import get_domain, bit_reversal_perm          # noqa: F401
 from .ops.poly import PolyOps                                # noqa: F401

@@ -23,8 +23,10 @@ VEC = os.path.join(REF, "tests", "protocol_ethereum_eip4844_deneb_kzg")
 pytestmark = pytest.mark.skipif(
     not os.path.isdir(VEC), reason="Deneb vectors not available")
 
-# cap per-suite case count for CI speed; override with CTT_VECTORS_ALL=1
-ALL = os.environ.get("CTT_VECTORS_ALL", "0") == "1"
+# The FULL consensus vector sets are the committed gate (VERDICT r3 #3:
+# alphabetical truncation biased which rejection branches ran). Set
+# CTT_VECTORS_FAST=1 for a capped subset during iteration.
+ALL = os.environ.get("CTT_VECTORS_FAST", "0") != "1"
 
 
 def load_cases(suite):

@@ -19,7 +19,8 @@ VEC = os.path.join(REF, "tests", "protocol_ethereum_eip7594_fulu_peerdas")
 pytestmark = pytest.mark.skipif(
     not os.path.isdir(VEC), reason="Fulu PeerDAS vectors not available")
 
-ALL = os.environ.get("CTT_VECTORS_ALL", "0") == "1"
+# Full vector sets by default (committed gate); CTT_VECTORS_FAST=1 caps.
+ALL = os.environ.get("CTT_VECTORS_FAST", "0") != "1"
 
 
 def load_cases(suite):

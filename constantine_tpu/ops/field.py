@@ -75,14 +75,17 @@ class Field:
         self.pow_const = jax.jit(self.pow_const, static_argnums=(1, 2))
         self.mul_small = jax.jit(self.mul_small, static_argnums=(1,))
 
-        # CTT_PALLAS=1 on a TPU backend: route multiplication through the
-        # fused Pallas CIOS kernel (ops/pallas_field.py) — ~2.8x over the
-        # XLA lowering. square/to_mont/... pick it up via self.mul.
+        # On accelerator backends, multiplication routes through the fused
+        # Pallas CIOS kernel (ops/pallas_field.py) by DEFAULT — ~2.8x over
+        # the XLA lowering; square/to_mont/... pick it up via self.mul.
+        # CTT_PALLAS=0 opts out (debug); CPU backends keep the XLA path
+        # (the interpreter-mode kernel would be slower than XLA there).
         import os as _os
-        if _os.environ.get("CTT_PALLAS", "0") == "1":
+        if _os.environ.get("CTT_PALLAS", "1") != "0":
             try:
                 if jax.default_backend() != "cpu":
                     from .pallas_field import PallasMontMul
+                    self._xla_mul = self.mul   # kept for tiny batches
                     self._pallas = PallasMontMul(self)
                     self.mul = self._pallas.mul
             except Exception:

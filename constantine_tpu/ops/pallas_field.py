@@ -106,10 +106,15 @@ class PallasMontMul:
 
     def mul(self, a, b):
         """(batch..., L) x (batch..., L) -> (batch..., L), same semantics as
-        Field.mul. Batch is padded to a block multiple."""
-        shape = a.shape
+        Field.mul (either operand may broadcast against the other). Batch is
+        padded to a block multiple."""
+        shape = jnp.broadcast_shapes(a.shape, b.shape)
         n = int(np.prod(shape[:-1]))
-        aT = a.reshape(n, self.L).T
+        if n < self.block // 4 and hasattr(self.F, "_xla_mul"):
+            # tiny batches: the pad-to-block + transposes cost more than
+            # the kernel saves; keep the XLA lowering
+            return self.F._xla_mul(a, b)
+        aT = jnp.broadcast_to(a, shape).reshape(n, self.L).T
         bT = jnp.broadcast_to(b, shape).reshape(n, self.L).T
         pad = (-n) % self.block
         if pad:

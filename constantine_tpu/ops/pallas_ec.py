@@ -116,7 +116,50 @@ class _KF:
             [jnp.where(take, d, r) for d, r in zip(diff, rows[:L])], 0)
 
     def sq(self, a):
-        return self.mul(a, a)
+        """Dedicated Montgomery squaring: upper-triangle products only
+        (off-diagonals doubled after the lo/hi split, so no u32 overflow),
+        reduction interleaved as in mul. Column i has received every
+        square contribution (a_j·a_{i-j}, j <= i/2) by step i, so the
+        interleaved no-shift reduction stays valid. ~20% fewer vector ops
+        than mul (product phase halves, reduction unchanged) — the
+        finite_fields.nim square/mul distinction, re-derived for rows."""
+        L, t = self.L, self.t
+        TB = a.shape[1]
+        t[:, :] = jnp.zeros((2 * L + 1, TB), jnp.uint32)
+        carry = jnp.zeros((1, TB), jnp.uint32)
+        one = np.uint32(1)
+        for i in range(L):
+            prod = a[i:i + 1, :] * a[i:, :]          # rows j=i..L-1
+            lo = prod & MASK
+            hi = prod >> W
+            if L - i > 1:                            # double off-diagonals
+                lo = jnp.concatenate([lo[0:1], lo[1:] << one], 0)
+                hi = jnp.concatenate([hi[0:1], hi[1:] << one], 0)
+            t[2 * i:i + L, :] = t[2 * i:i + L, :] + lo
+            t[2 * i + 1:i + L + 1, :] = t[2 * i + 1:i + L + 1, :] + hi
+            cur = t[i:i + 1, :] + carry
+            m = (cur * self.m0) & MASK               # (1, TB)
+            prod2 = m * self.p_col                   # (L, TB)
+            lo2 = prod2 & MASK
+            t[i:i + L, :] = t[i:i + L, :] + lo2
+            t[i + 1:i + L + 1, :] = t[i + 1:i + L + 1, :] + (prod2 >> W)
+            carry = (cur + lo2[0:1, :]) >> W
+        rows = [t[L + i, :] for i in range(L)] + [t[2 * L, :]]
+        rows[0] = rows[0] + carry[0]
+        for i in range(L):                            # single final ripple
+            c = rows[i] >> W
+            rows[i] = rows[i] & MASK
+            rows[i + 1] = rows[i + 1] + c
+        hi_bit = rows[L]
+        diff = []
+        c = jnp.ones_like(rows[0])
+        for i in range(L):                            # conditional -p
+            s = rows[i] + (MASK - np.uint32(self.p_limbs[i])) + c
+            diff.append(s & MASK)
+            c = s >> W
+        take = (hi_bit == 1) | (c == 1)
+        return jnp.stack(
+            [jnp.where(take, d, r) for d, r in zip(diff, rows[:L])], 0)
 
     # -- add/sub with ripple + conditional correction ----------------------
 

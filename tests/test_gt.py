@@ -69,8 +69,49 @@ def test_gt_multiexp_vs_exp(setup):
     fs = gt.exp(idx, jnp.broadcast_to(f, (4,) + f.shape[1:]), exp_bits=4)
     ks = [7, 1 << 62, 123, ctx.r - 1]
     kl = jnp.asarray(ctx.scalars_to_limbs(ks))
-    got = gt.multiexp(fs, kl, c=4, exp_bits=255)
+    got = gt.multiexp(fs, kl, c=4, exp_bits=255)   # default = torus T2
     ktot = sum((i + 1) * k for i, k in enumerate(ks)) % ctx.r
     exp = gt.exp(jnp.asarray(ctx.scalars_to_limbs([ktot])),
                  f, exp_bits=255)
+    assert np.asarray(gt.fp12.eq(got[None], exp)).all()
+    # dense Fp12 adapter must agree with the torus path
+    dense = gt.multiexp(fs, kl, c=4, exp_bits=255, torus=False)
+    assert np.asarray(gt.fp12.eq(got[None], dense[None])).all()
+
+
+def test_gt_torus_roundtrip_and_laws(setup):
+    ctx, gt, pr, f = setup
+    from constantine_tpu.ops.gt import T2Group
+    t2 = T2Group(pr)
+    # compress/decompress roundtrip on f, f^2, f^-1
+    f2 = pr.cyclotomic_square(f)
+    finv = pr.cyclotomic_inv(f)
+    fs = jnp.concatenate([f, f2, finv], axis=0)
+    c, ident = t2.compress(fs)
+    assert not np.asarray(ident).any()
+    back = jnp.stack([t2.decompress((c[i], t2.fp6.broadcast_one(()))
+                                    ) for i in range(3)])
+    assert np.asarray(gt.fp12.eq(back, fs)).all()
+    # torus mul law: decompress(madd(P_f, c_{f2})) == f * f2 = f^3
+    P = t2.from_affine((c[0],))
+    Q = t2.madd(P, (c[1],))
+    f3 = gt.fp12.mul(f[0], f2[0])
+    assert np.asarray(gt.fp12.eq(t2.decompress(Q), f3)).all()
+    # g * g^-1 collapses to the projective identity (n, 0) — the bucket
+    # collision case the torus handles without special-casing
+    R = t2.madd(P, (c[2],))
+    assert np.asarray(t2.is_inf(R))
+    assert np.asarray(gt.fp12.eq(t2.decompress(R),
+                                 gt.fp12.broadcast_one(())))
+
+
+def test_gt_torus_identity_inputs(setup):
+    ctx, gt, pr, f = setup
+    # an identity basis element with a huge scalar contributes nothing
+    one = gt.fp12.broadcast_one((1,))
+    fs = jnp.concatenate([f, one, f], axis=0)
+    ks = [5, ctx.r - 1, 7]
+    kl = jnp.asarray(ctx.scalars_to_limbs(ks))
+    got = gt.multiexp(fs, kl, c=4, exp_bits=4 * 16)
+    exp = gt.exp(jnp.asarray(ctx.scalars_to_limbs([12])), f, exp_bits=5)
     assert np.asarray(gt.fp12.eq(got[None], exp)).all()

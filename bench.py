@@ -31,8 +31,10 @@ def _sync(out):
     does."""
     import jax
     import numpy as _np
-    leaves = jax.tree_util.tree_leaves(out)
-    _np.asarray(jax.device_get(leaves[0].ravel()[:1]))
+    leaves = [l for l in jax.tree_util.tree_leaves(out)
+              if hasattr(l, "ravel")]
+    if leaves:                      # bytes/bool outputs are already synced
+        _np.asarray(jax.device_get(leaves[0].ravel()[:1]))
     return out
 
 
@@ -128,7 +130,10 @@ def bench_pairing(_n, reps):
     pr = get_pairing("BLS12_381")
     ctx = pr.ctx
     rng = np.random.default_rng(5)
-    B = 8  # multi-pairing batch (batched Miller is the TPU win)
+    # multi-pairing batch — batched Miller is the TPU win: at small B the
+    # program is op-launch-bound (~1us per tiny HLO/kernel op), so the
+    # honest throughput metric uses a production-sized batch.
+    B = int(os.environ.get("CTT_BENCH_B", 256))
     ks = [int(k) for k in rng.integers(2, 2**60, size=B)]
     g1 = [rm.ec_mul(k, ctx.g, 0, ctx.p) for k in ks]
     px = jnp.asarray(ctx.fp.encode([p[0] for p in g1]))
@@ -146,7 +151,8 @@ def bench_pairing(_n, reps):
     ops = 1.0 / per
     baseline_ops = 1.0 / 384.4e-6  # 7840U single pairing 384.4 us
     log(f"pairing batch {B}: {dt*1e3:.2f} ms total, {per*1e6:.0f} us/pair")
-    return "bls12381_pairing_batch8", ops, "pairings/s", ops / baseline_ops
+    return (f"bls12381_pairing_batch{B}", ops, "pairings/s",
+            ops / baseline_ops)
 
 
 def bench_eip4844(kind, reps):
@@ -175,6 +181,22 @@ def bench_eip4844(kind, reps):
         ops = 1.0 / dt
         log(f"blob_to_kzg_commitment: {dt*1e3:.2f} ms")
         return "eip4844_blob_to_kzg_commitment", ops, "ops/s", ops / 226.7
+    if kind == "verify_blob_batch":
+        B = int(os.environ.get("CTT_BENCH_B", 64))
+        blobs = [b"".join(int(v).to_bytes(32, "big")
+                          for v in rng.integers(0, 2**62, size=4096))
+                 for _ in range(B)]
+        cs = [eip4844.blob_to_kzg_commitment(bl) for bl in blobs]
+        prs = [eip4844.compute_blob_kzg_proof(bl, c)
+               for bl, c in zip(blobs, cs)]
+        assert eip4844.verify_blob_kzg_proof_batch(blobs, cs, prs) is True
+        dt = _time(lambda: eip4844.verify_blob_kzg_proof_batch(
+            blobs, cs, prs), reps, pipeline=1) / B
+        ops = 1.0 / dt
+        log(f"verify_blob_kzg_proof_batch({B}): {dt*1e3:.2f} ms/blob")
+        # BASELINE.md: verify_blob_kzg_proof_batch(64) 16T = 8.19 ms/blob
+        return (f"eip4844_verify_blob_batch{B}", ops, "blobs/s",
+                ops / (1000.0 / 8.19))
     z = (2**200 + 12345).to_bytes(32, "big")
     proof, y = eip4844.compute_kzg_proof(blob, z)
     dt = _time(lambda: eip4844.verify_kzg_proof(c, z, y, proof), reps)
@@ -204,6 +226,8 @@ def main():
         name, val, unit, vs = bench_eip4844("commit_batch", reps)
     elif metric == "eip4844_verify":
         name, val, unit, vs = bench_eip4844("verify", reps)
+    elif metric == "eip4844_verify_blob_batch":
+        name, val, unit, vs = bench_eip4844("verify_blob_batch", reps)
     else:
         raise SystemExit(f"unknown CTT_BENCH_METRIC {metric}")
     print(json.dumps({"metric": name, "value": round(val, 3), "unit": unit,

@@ -106,10 +106,15 @@ def _limbs_to_int(row) -> int:
 # ---------------------------------------------------------------------------
 
 
+from ..utils.audit import vartime as _vartime
+
+
+@_vartime(reason="EVM calldata is public; parses lengths")
 def eth_evm_sha256(data: bytes) -> bytes:
     return sha256(data)
 
 
+@_vartime(reason="EVM calldata is public; parses lengths")
 def eth_evm_ripemd160(data: bytes) -> bytes:
     return b"\x00" * 12 + ripemd160(data)
 
@@ -119,6 +124,7 @@ def eth_evm_ripemd160(data: bytes) -> bytes:
 # ---------------------------------------------------------------------------
 
 
+@_vartime(reason="EVM calldata is public; parses lengths")
 def eth_evm_modexp(data: bytes) -> bytes:
     """0x05: runs on the framework's OWN arbitrary-precision stack
     (ops/bigint_ap.py: Knuth-D divmod + runtime-length Montgomery powmod
@@ -167,6 +173,7 @@ def _bn_serialize_g1(pt, is_inf) -> bytes:
     return pt[0].to_bytes(32, "big") + pt[1].to_bytes(32, "big")
 
 
+@_vartime(reason="EVM calldata is public; parses lengths")
 def eth_evm_bn254_g1add(data: bytes) -> bytes:
     """0x06: one fused device program (on-curve checks + complete add)."""
     data = (data + b"\x00" * 128)[:128]
@@ -189,6 +196,7 @@ def eth_evm_bn254_g1add(data: bytes) -> bytes:
                             False)
 
 
+@_vartime(reason="EVM calldata is public; parses lengths")
 def eth_evm_bn254_g1mul(data: bytes) -> bytes:
     """0x07: CT device scalar mul ([k mod r]P; BN254 G1 cofactor is 1)."""
     data = (data + b"\x00" * 96)[:96]
@@ -226,6 +234,7 @@ def _bn_parse_g2(data: bytes):
     return ((xr, xi), (yr, yi)), True, False
 
 
+@_vartime(reason="EVM calldata is public; parses lengths")
 def eth_evm_bn254_ecpairingcheck(data: bytes) -> bytes:
     """0x08: product of pairings == 1 -> 32-byte 0/1. Input: k*192 bytes."""
     if len(data) % 192 != 0:
@@ -306,6 +315,7 @@ def _bls_g1_bytes(pt, inf) -> bytes:
     return _bls_fp_bytes(pt[0]) + _bls_fp_bytes(pt[1])
 
 
+@_vartime(reason="EVM calldata is public; parses lengths")
 def eth_evm_bls12381_g1add(data: bytes) -> bytes:
     """EIP-2537 G1ADD: on-curve checks + complete add in one device call
     (no subgroup check, per spec)."""
@@ -330,6 +340,7 @@ def eth_evm_bls12381_g1add(data: bytes) -> bytes:
     return _bls_g1_bytes((_limbs_to_int(x[0]), _limbs_to_int(y[0])), False)
 
 
+@_vartime(reason="EVM calldata is public; parses lengths")
 def eth_evm_bls12381_g1msm(data: bytes) -> bytes:
     """G1 MSM: k * (128B point + 32B scalar). Subgroup checks required."""
     if len(data) == 0 or len(data) % 160 != 0:

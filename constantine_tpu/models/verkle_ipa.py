@@ -221,6 +221,13 @@ class VerkleIPA:
         transcript.absorb_scalar(b"output point", y)
         w = transcript.squeeze(b"w")
 
+        # NB the a/b scalar folds below stay on HOST ints deliberately:
+        # each round is serialized by the Fiat-Shamir transcript (host
+        # hash), and the fold is ~3*h <= 384 bigint mulmods (~0.5 ms
+        # total) while one extra device round trip costs ~25 ms on the
+        # tunnel. The heavy work per round (the two MSMs and the CRS
+        # fold) already runs on device. Batching across OPENINGS (the
+        # real parallel axis) is the multiproof below.
         # G as mutable device affine arrays
         gx, gy = self.crs
         Ls, Rs = [], []

@@ -88,95 +88,6 @@ def _lane_tree_sum(pec, P, n):
     return X, Y, Z
 
 
-def _unpack16_rows(a):
-    """(Lh, m) packed -> (L, m) interleaved 16-bit digit rows."""
-    Lh, m = a.shape
-    lo = a & jnp.uint32(0xFFFF)
-    hi = a >> jnp.uint32(16)
-    return jnp.stack([lo, hi], axis=1).reshape(2 * Lh, m)
-
-
-def _affine_accumulate(pa, sk, st, nb, flat_pad, n_rounds: int = 5):
-    """Affine pair-merge bucket accumulation over a key-sorted stream.
-
-    sk: (flat_pad,) int32 sorted keys (0 = zero-digit/padding);
-    st: (L, flat_pad) packed [x||y] gathered signed points.
-    Runs `n_rounds` rounds of adjacent pair merging with batched-inverse
-    affine additions (~6 Montgomery muls per consumed entry vs ~11 for the
-    Jacobian flush madd), then hands survivors (per-bucket count halved
-    n_rounds times) to the Jacobian merge/tree tail.
-
-    Returns (ck (S,), cx, cy, cz (L, S)) Jacobian survivors, key-sorted.
-    """
-    L = pa.L
-    CH, TB = 32, pa.block
-    unit = CH * TB
-    m = flat_pad
-    keys = jnp.where(sk > 0, sk, -1)
-    inf = jnp.zeros((m,), jnp.int32)
-    # rank within run: i - position of run start
-    iota = jnp.arange(m, dtype=jnp.int32)
-    start = jnp.concatenate([jnp.ones((1,), jnp.bool_),
-                             keys[1:] != keys[:-1]])
-    spos = jax.lax.associative_scan(jnp.maximum,
-                                    jnp.where(start, iota, -1))
-    rank = iota - spos
-
-    for _ in range(n_rounds):
-        m_next = min(max(_rupn(m // 2 + nb + 64, unit), unit), m)
-        lhs = (rank & 1) == 0
-        # mega-array [st ; st>>1 ; keys,rank,inf ; keys>>1,inf>>1] so the
-        # compaction needs only ONE gather (per-index cost dominates and is
-        # width-independent on this hardware)
-        stn = jnp.concatenate([st[:, 1:], st[:, :1]], axis=1)
-        auxu = jnp.stack([keys, rank, inf]).astype(jnp.uint32)
-        auxn = jnp.concatenate(
-            [auxu[(0, 2), 1:],
-             jnp.asarray([[np.uint32(2**32 - 2)], [0]], jnp.uint32)],
-            axis=1)
-        mega = jnp.concatenate([st, stn, auxu, auxn], axis=0)  # (2L+5, m)
-        kidx = jnp.argsort(jnp.where(lhs, 0, 1), stable=True)[:m_next]
-        cnt = jnp.sum(lhs.astype(jnp.int32))
-        j = jnp.arange(m_next, dtype=jnp.int32)
-        valid = j < cnt
-        gidx = jnp.where(valid, kidx, m - 1)
-        gm = jnp.take(mega, gidx, axis=1)              # (2L+5, m_next)
-        ls, ps = gm[:L], gm[L:2 * L]
-        keys_l = gm[2 * L].astype(jnp.int32)
-        rank_l = gm[2 * L + 1].astype(jnp.int32)
-        inf_l = gm[2 * L + 2].astype(jnp.int32)
-        keys_p = gm[2 * L + 3].astype(jnp.int32)
-        inf_p = gm[2 * L + 4].astype(jnp.int32)
-        paired = (keys_l == keys_p)
-        meta = (paired.astype(jnp.int32) | (inf_l << 1) | (inf_p << 2)
-                | jnp.where(valid, 0, 8)).astype(jnp.int32)[None]
-        dpack, case = pa.pair_d(ls, ps, meta)
-        Mw = m_next // CH
-        dC = dpack.reshape(pa.Lh, CH, Mw).transpose(1, 0, 2)
-        pe, bp = pa.chain_fwd(dC)
-        bpinv = pa.batch_inv_packed(bp)
-        stC = ls.reshape(L, CH, Mw).transpose(1, 0, 2)
-        spC = ps.reshape(L, CH, Mw).transpose(1, 0, 2)
-        caseC = case.reshape(1, CH, Mw).transpose(1, 0, 2)
-        st3C, infC = pa.chain_bwd_apply(pe, dC, bpinv, stC, spC, caseC)
-        st = st3C.transpose(1, 0, 2).reshape(L, m_next)
-        inf = infC.transpose(1, 0, 2).reshape(m_next)
-        keys = jnp.where(valid, keys_l, -1)
-        rank = rank_l >> 1
-        m = m_next
-
-    # survivors -> Jacobian planar coords for the merge/tree tail
-    Lh = pa.Lh
-    cx = _unpack16_rows(st[:Lh])
-    cy = _unpack16_rows(st[Lh:])
-    alive = (keys > 0) & (inf == 0)
-    one_col = jnp.asarray(np.asarray(pa.pec._consts[1, :, 0], np.uint32))
-    cz = jnp.where(alive[None, :], one_col[:, None],
-                   jnp.zeros((L, 1), jnp.uint32))
-    ck = jnp.where(keys > 0, keys, 0)
-    return ck, cx, cy, cz
-
-
 def _sorted_stream(digits, c, W, H, N):
     """Sort the (W, N) signed digits into a bucket-grouped stream.
 
@@ -349,7 +260,7 @@ def _merge_rounds(pec, keysP, ex, ey, ez, curK, curM, nb, H, r, K2=32):
 
 def msm_tpu(group, points_aff, scalars, c: int = None,
             scalar_bits: int = None, block: int = 512, digits=None,
-            combine: bool = True, affine_rounds: int = 5):
+            combine: bool = True):
     """MSM over the Pallas kernel path. Same contract as ops.msm.msm:
     returns a Jacobian point tuple with batch shape () in standard (.., L)
     layout. G1 over Fp only (tower fields fall back to the XLA path).
@@ -396,11 +307,6 @@ def msm_tpu(group, points_aff, scalars, c: int = None,
         gi = jnp.concatenate([gi, jnp.zeros((pad,), gi.dtype)])
 
     K2 = 32
-    # The affine pair-merge path is correct but currently slower than the
-    # Jacobian flush path at N=2^16 on-device (argsort/gather-dominated
-    # merge rounds); keep it opt-in until it wins.
-    use_affine = (L % 2 == 0) \
-        and os.environ.get("CTT_MSM_AFFINE", "0") != "0"
     packed = (L % 2 == 0)
 
     # gather table with negated second half: negation selection is a row
@@ -412,47 +318,14 @@ def msm_tpu(group, points_aff, scalars, c: int = None,
             jnp.concatenate([pxp, _pack16(_neg_std(F, py))], axis=1)],
             axis=0)                                    # (2N, L) packed
 
-    if use_affine:
-        from .pallas_ec import get_pallas_affine
-        pa = get_pallas_affine(F, block)
-        unit = 32 * block
-        flat_pad = max(_rupn(M * K, unit), unit)
-        apad = flat_pad - M * K
-        # gap keys (w*(H+1), zero digits) -> 0 for the rank machinery
-        sk_s = jnp.where(sk % (H + 1) == 0, 0, sk)
-        gi_s = gi
-        if apad:
-            sk_s = jnp.concatenate([sk_s, jnp.zeros((apad,), jnp.int32)])
-            gi_s = jnp.concatenate([gi_s, jnp.zeros((apad,), jnp.int32)])
-        st = jnp.take(ptab, gi_s, axis=0).T            # (L, flat_pad)
-        ck, cx, cy, cz = _affine_accumulate(pa, sk_s, st, nb, flat_pad,
-                                            n_rounds=affine_rounds)
-        S = ck.shape[0]
-        r = max(1, _cdiv(N, 1 << affine_rounds))
-        if r > 4:
-            # relayout the stream survivors for the merge rounds
-            M2 = _rup(_cdiv(S, K2), 128)
-            tot = K2 * M2
-            if tot > S:
-                ck = jnp.concatenate(
-                    [ck, jnp.zeros((tot - S,), ck.dtype)])
-                cx = jnp.pad(cx, ((0, 0), (0, tot - S)))
-                cy = jnp.pad(cy, ((0, 0), (0, tot - S)))
-                cz = jnp.pad(cz, ((0, 0), (0, tot - S)))
-            j = jnp.arange(tot, dtype=jnp.int32)
-            perm = (j % M2) * K2 + (j // M2)
-            kT = jnp.take(ck, perm).reshape(K2, M2)
-            xT = jnp.take(cx, perm, axis=1).reshape(L, K2, M2) \
-                .swapaxes(0, 1)
-            yT = jnp.take(cy, perm, axis=1).reshape(L, K2, M2) \
-                .swapaxes(0, 1)
-            zT = jnp.take(cz, perm, axis=1).reshape(L, K2, M2) \
-                .swapaxes(0, 1)
-            ex, ey, ez = pec.merge_scan(kT, xT, yT, zT)
-            ck, cx, cy, cz = _merge_rounds(
-                pec, kT, ex, ey, ez, K2, M2, nb, H, _cdiv(r, K2) + 1, K2)
-        return _msm_tail(group, pec, ck, cx, cy, cz, c, W, H, nb,
-                         combine)
+    # NB the affine pair-merge accumulation path (reference production
+    # path, msmAffineImpl ec_multi_scalar_mul.nim:350) was implemented,
+    # measured, and REMOVED in round 4: on this hardware the flush madd is
+    # latency-bound, not op-count-bound (scripts/bench_ilp.py,
+    # bench_vpu.py), so the ~6-vs-11-mul affine saving cannot win — its
+    # merge-round relayouts only added per-index gather cost. The batched
+    # packed inversion kernels it built on remain in pallas_ec.PallasAffine
+    # (the batchAffine component) with their own tests.
 
     # ---- Jacobian flush path --------------------------------------------
     skT = sk.reshape(M, K).T

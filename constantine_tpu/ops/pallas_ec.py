@@ -476,7 +476,16 @@ class PallasEC:
         TPU-native replacement for the reference's CycloneMSM scheduler
         (ec_multi_scalar_mul_scheduler.nim:301-618): collision freedom
         comes from the sort, partial sums merge downstream.
+
+        CTT_MSM_PAIR=k interleaves k INDEPENDENT lane half-blocks per
+        body invocation. Bare Montgomery-mul chains measure 1.7x per-lane
+        throughput at k=2 (scripts/bench_ilp.py: the chains are
+        latency-bound at ~30 cycles per dependent vector op), but the
+        FULL madd at k=2 measured SLOWER (85ms vs 66ms at N=2^16 GLV) —
+        two madds' live state spills — so the default stays 1; the knob
+        is kept for narrower-state kernels and future retuning.
         """
+        import os
         ST = SCAN_STEP                                # entries per grid step
         K, M0 = keys.shape
         assert K % ST == 0, (K, ST)
@@ -486,7 +495,9 @@ class PallasEC:
         n_in = 2 if not packed else 1
         assert qx.shape[1] == L, (qx.shape, L)
         TB = TB or self.block
-        npad = -M % TB
+        pair = int(os.environ.get("CTT_MSM_PAIR", "1"))
+        TBW = TB * pair                               # block width
+        npad = -M % TBW
         if npad:
             keys = jnp.pad(keys, ((0, 0), (0, npad)), constant_values=-1)
             qx = jnp.pad(qx, ((0, 0), (0, 0), (0, npad)))
@@ -503,53 +514,70 @@ class PallasEC:
                 rows.append(v[i:i + 1, :] >> W)
             return jnp.concatenate(rows, axis=0)
 
-        ckey = ("flush", K, M, TB, packed)
+        ckey = ("flush", K, M, TB, packed, pair)
         if ckey not in self._cache:
             def kern(*refs):
                 if packed:
-                    (k_ref, xy_ref, c_ref, ex_ref, ey_ref, ez_ref,
-                     t_ref, dbl_ref, acc_ref, key_ref) = refs
+                    (k_ref, xy_ref, c_ref, ex_ref, ey_ref, ez_ref) = \
+                        refs[:6]
+                    scr = refs[6:]
                 else:
-                    (k_ref, x_ref, y_ref, c_ref, ex_ref, ey_ref, ez_ref,
-                     t_ref, dbl_ref, acc_ref, key_ref) = refs
+                    (k_ref, x_ref, y_ref, c_ref, ex_ref, ey_ref,
+                     ez_ref) = refs[:7]
+                    scr = refs[7:]
+                t_refs = scr[0:pair]
+                dbl_refs = scr[pair:2 * pair]
+                acc_refs = scr[2 * pair:3 * pair]
+                key_ref = scr[3 * pair]
                 k8 = pl.program_id(1)
-                kf = self._kf(c_ref, t_ref)
+                kfs = [self._kf(refs[3] if not packed else refs[2], t)
+                       for t in t_refs]
 
                 @pl.when(k8 == 0)
                 def _():
-                    acc_ref[0] = kf.one(TB)
-                    acc_ref[1] = kf.one(TB)
-                    acc_ref[2] = kf.zero(TB)
-                    key_ref[:, :] = jnp.full((8, TB), -1, jnp.int32)
+                    for h in range(pair):
+                        acc_refs[h][0] = kfs[h].one(TB)
+                        acc_refs[h][1] = kfs[h].one(TB)
+                        acc_refs[h][2] = kfs[h].zero(TB)
+                    key_ref[:, :] = jnp.full((8, TBW), -1, jnp.int32)
 
-                aX, aY, aZ = acc_ref[0], acc_ref[1], acc_ref[2]
-                cur = key_ref[0, :]
-                one = kf.one(TB)
                 for j in range(ST):
-                    kk = k_ref[j, 0, :]
-                    if packed:
-                        X2 = unpack(xy_ref[j, :Lh, :])
-                        Y2 = unpack(xy_ref[j, Lh:, :])
-                    else:
-                        X2 = x_ref[j]
-                        Y2 = y_ref[j]
-                    same = kk == cur
-                    # grown = acc + Q ; fresh = Q (new run)
-                    gX, gY, gZ = kf.ec_madd(aX, aY, aZ, X2, Y2, dbl_ref)
-                    aX = kf.sel(same, gX, X2)
-                    aY = kf.sel(same, gY, Y2)
-                    aZ = kf.sel(same, gZ, one)
-                    cur = kk
-                    ex_ref[j] = aX
-                    ey_ref[j] = aY
-                    ez_ref[j] = aZ
-                acc_ref[0], acc_ref[1], acc_ref[2] = aX, aY, aZ
-                key_ref[0, :] = cur
+                    # `pair` independent half-block madds, interleaved by
+                    # the Mosaic scheduler (separate scratch per half)
+                    for h in range(pair):
+                        kf = kfs[h]
+                        sl = slice(h * TB, (h + 1) * TB)
+                        kk = k_ref[j, 0, sl]
+                        if packed:
+                            X2 = unpack(xy_ref[j, :Lh, sl])
+                            Y2 = unpack(xy_ref[j, Lh:, sl])
+                        else:
+                            X2 = x_ref[j, :, sl]
+                            Y2 = y_ref[j, :, sl]
+                        aX = acc_refs[h][0]
+                        aY = acc_refs[h][1]
+                        aZ = acc_refs[h][2]
+                        cur = key_ref[0, sl]
+                        same = kk == cur
+                        # grown = acc + Q ; fresh = Q (new run)
+                        gX, gY, gZ = kf.ec_madd(aX, aY, aZ, X2, Y2,
+                                                dbl_refs[h])
+                        one = kf.one(TB)
+                        aX = kf.sel(same, gX, X2)
+                        aY = kf.sel(same, gY, Y2)
+                        aZ = kf.sel(same, gZ, one)
+                        ex_ref[j, :, sl] = aX
+                        ey_ref[j, :, sl] = aY
+                        ez_ref[j, :, sl] = aZ
+                        acc_refs[h][0] = aX
+                        acc_refs[h][1] = aY
+                        acc_refs[h][2] = aZ
+                        key_ref[0, sl] = kk
 
-            grid = (M // TB, K // ST)
-            kspec = pl.BlockSpec((ST, 1, TB), lambda m, k: (k, 0, m),
+            grid = (M // TBW, K // ST)
+            kspec = pl.BlockSpec((ST, 1, TBW), lambda m, k: (k, 0, m),
                                  memory_space=pltpu.VMEM)
-            inspec = pl.BlockSpec((ST, L, TB), lambda m, k: (k, 0, m),
+            inspec = pl.BlockSpec((ST, L, TBW), lambda m, k: (k, 0, m),
                                   memory_space=pltpu.VMEM)
             fn = pl.pallas_call(
                 kern,
@@ -559,10 +587,11 @@ class PallasEC:
                                 memory_space=pltpu.VMEM)],
                 out_specs=[inspec, inspec, inspec],
                 out_shape=[jax.ShapeDtypeStruct((K, L, M), jnp.uint32)] * 3,
-                scratch_shapes=[pltpu.VMEM((2 * L + 1, TB), jnp.uint32),
-                                pltpu.VMEM((3, L, TB), jnp.uint32),
-                                pltpu.VMEM((3, L, TB), jnp.uint32),
-                                pltpu.VMEM((8, TB), jnp.int32)],
+                scratch_shapes=(
+                    [pltpu.VMEM((2 * L + 1, TB), jnp.uint32)] * pair
+                    + [pltpu.VMEM((3, L, TB), jnp.uint32)] * pair
+                    + [pltpu.VMEM((3, L, TB), jnp.uint32)] * pair
+                    + [pltpu.VMEM((8, TBW), jnp.int32)]),
                 interpret=_interpret(),
                 compiler_params=_CPARAMS,
             )
@@ -801,23 +830,22 @@ class PallasEC:
 
 
 class PallasAffine:
-    """Kernels for affine pair-merge bucket accumulation.
+    """Packed batched-inversion kernels — the TPU re-expression of the
+    reference's Montgomery-trick batchAffine machinery
+    (ec_shortweierstrass_batch_ops.nim:29-187).
 
-    The flush scan costs one Jacobian mixed-add (~11 Montgomery muls) per
-    stream entry. Merging key-equal neighbours PAIRWISE instead allows
-    AFFINE additions whose inversions batch across the whole round
-    (Montgomery's trick, chained along the grid minor axis), cutting the
-    per-entry cost to ~6 muls: 1 fwd-chain mul + 2 bwd-chain muls for the
-    shared inversion, then lambda, lambda^2, and y3. This is the TPU
-    re-expression of the reference's batchAffine accumulation
-    (ec_shortweierstrass_batch_ops.nim:29-187): same algebra, but the
-    "batch" axis is the whole sorted (window,bucket) stream and collision
-    freedom comes from rank-pairing on sorted keys, not scheduler queues.
+    Field elements ride PACKED (two 16-bit digits per u32): a coordinate
+    is L/2 rows. `batch_inv_packed` chains products along the grid minor
+    axis (chain_fwd), inverts one packed product per big chunk with a
+    Fermat pow kernel (fermat_inv), and unwinds (chain_bwd_inv) — one
+    modular inversion amortized over C*chunk elements.
 
-    Data conventions: field elements ride PACKED (two 16-bit digits per
-    u32): a coordinate is L/2 rows. A point is [x||y] = L rows packed.
-    CASE codes from pair_d: 0 add, 1 double, 2 keep-self, 3 take-partner,
-    4 result-infinity.
+    History: these kernels originally backed an affine pair-merge MSM
+    bucket-accumulation path (the reference's production msmAffineImpl
+    strategy). That path measured SLOWER than the Jacobian flush scan on
+    this hardware (the flush is latency-bound, not op-count-bound) and
+    was removed in round 4; the inversion kernels stay as the batch-affine
+    component used for mass Jacobian->affine conversion.
     """
 
     def __init__(self, pec: "PallasEC"):
@@ -854,81 +882,6 @@ class PallasAffine:
         rows = [v[i:i + 1, :] | (v[i + 1:i + 2, :] << W)
                 for i in range(0, L, 2)]
         return rows[0] if len(rows) == 1 else jnp.concatenate(rows, axis=0)
-
-    # -- pair_d: denominators + case codes ----------------------------------
-
-    def pair_d(self, lhs_st, par_st, meta):
-        """lhs_st, par_st: (L, m) packed [x||y]; meta: (1, m) int32 bits
-        [0]=paired [1]=self_inf [2]=partner_inf [3]=dead.
-        Returns (dpack (Lh, m), case (1, m) int32)."""
-        L, Lh, TB = self.L, self.Lh, self.block
-        m0 = lhs_st.shape[1]
-        m = _rupn(m0, TB)
-        if m != m0:
-            lhs_st = jnp.pad(lhs_st, ((0, 0), (0, m - m0)))
-            par_st = jnp.pad(par_st, ((0, 0), (0, m - m0)))
-            meta = jnp.pad(meta, ((0, 0), (0, m - m0)),
-                           constant_values=8)          # dead
-        ck = ("pair_d", m)
-        if ck not in self._cache:
-            def kern(s_ref, p_ref, m_ref, c_ref, d_ref, case_ref, t_ref):
-                kf = self.pec._kf(c_ref, t_ref)
-                mt = m_ref[0, :]
-                paired = (mt & 1) == 1
-                self_inf = (mt & 2) == 2
-                par_inf = (mt & 4) == 4
-                dead = (mt & 8) == 8
-                xeq = jnp.all(s_ref[:Lh, :] == p_ref[:Lh, :], axis=0)
-                yeq = jnp.all(s_ref[Lh:, :] == p_ref[Lh:, :], axis=0)
-                both = paired & (~self_inf) & (~par_inf) & (~dead)
-                is_add = both & (~xeq)
-                is_dbl = both & xeq & yeq
-                is_infr = (both & xeq & (~yeq)) | (paired & self_inf & par_inf)
-                take_par = paired & self_inf & (~par_inf) & (~dead)
-                # d = x2 - x1 (add) / 2*y1 (double) / one
-                x1 = self._unpack(s_ref[:Lh, :])
-                y1 = self._unpack(s_ref[Lh:, :])
-                x2 = self._unpack(p_ref[:Lh, :])
-                d = kf.sub(x2, x1)
-                d = kf.sel(is_dbl, kf.dbl(y1), d)
-                usable = is_add | is_dbl
-                d = kf.sel(~usable, kf.one(TB), d)
-                # keep-self covers: unpaired singles, and paired with an
-                # infinity partner (sum = self)
-                case = jnp.where(is_add, 0,
-                                 jnp.where(is_dbl, 1,
-                                           jnp.where(take_par, 3,
-                                                     jnp.where(is_infr, 4,
-                                                               2))))
-                case = jnp.where(dead | (self_inf & ~paired), 4, case)
-                d_ref[:, :] = self._pack(d)
-                case_ref[0, :] = case
-            grid = (m // TB,)
-            fn = pl.pallas_call(
-                kern, grid=grid,
-                in_specs=[
-                    pl.BlockSpec((L, TB), lambda i: (0, i),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((L, TB), lambda i: (0, i),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, TB), lambda i: (0, i),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((2, L, 128), lambda i: (0, 0, 0),
-                                 memory_space=pltpu.VMEM)],
-                out_specs=[
-                    pl.BlockSpec((Lh, TB), lambda i: (0, i),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, TB), lambda i: (0, i),
-                                 memory_space=pltpu.VMEM)],
-                out_shape=[jax.ShapeDtypeStruct((Lh, m), jnp.uint32),
-                           jax.ShapeDtypeStruct((1, m), jnp.int32)],
-                scratch_shapes=[pltpu.VMEM((2 * L + 1, TB), jnp.uint32)],
-                interpret=_interpret(),
-                compiler_params=_CPARAMS,
-            )
-            self._cache[ck] = jax.jit(fn)
-        d, case = self._cache[ck](lhs_st, par_st, meta, self.pec._consts)
-        return d[:, :m0], case[:, :m0]
 
     # -- chain kernels (Montgomery batch inversion) --------------------------
 
@@ -1091,91 +1044,6 @@ class PallasAffine:
             )
             self._cache[ck] = jax.jit(fn)
         return self._cache[ck](pe, dC, bpinv[None], self.pec._consts)
-
-    def chain_bwd_apply(self, pe, dC, bpinv, stC, spC, caseC):
-        """Fused backward chain + affine pair addition.
-
-        pe, dC: (C, Lh, Mw) packed prefix_ex / denominators;
-        bpinv: (Lh, Mw) packed block-product inverses;
-        stC, spC: (C, L, Mw) packed lhs / partner points [x||y];
-        caseC: (C, 1, Mw) int32 case codes.
-        Returns (st3C (C, L, Mw) packed results, infC (C, 1, Mw) int32).
-        """
-        C, Lh, Mw = dC.shape
-        L, TB = self.L, self.block
-        ck = ("capply", C, Mw)
-        if ck not in self._cache:
-            def kern(pe_ref, d_ref, bi_ref, s_ref, p_ref, case_ref, c_ref,
-                     o_ref, oi_ref, t_ref, run_ref, dbl_ref):
-                c = pl.program_id(1)
-                kf = self.pec._kf(c_ref, t_ref)
-
-                @pl.when(c == 0)
-                def _():
-                    run_ref[:, :] = self._unpack(bi_ref[0])
-
-                pex = self._unpack(pe_ref[0])
-                inv = kf.mul(run_ref[:, :], pex)
-                d = self._unpack(d_ref[0])
-                run_ref[:, :] = kf.mul(run_ref[:, :], d)
-
-                case = case_ref[0, 0, :]
-                x1 = self._unpack(s_ref[0, :Lh, :])
-                y1 = self._unpack(s_ref[0, Lh:, :])
-                x2 = self._unpack(p_ref[0, :Lh, :])
-                y2 = self._unpack(p_ref[0, Lh:, :])
-                is_dbl = case == 1
-                # num = y2 - y1, or 3*x1^2 for doubling (rare: under when)
-                num = kf.sub(y2, y1)
-
-                @pl.when(jnp.any(is_dbl))
-                def _():
-                    x1sq = kf.mul(x1, x1)
-                    dbl_ref[:, :] = kf.add(kf.dbl(x1sq), x1sq)
-
-                num = kf.sel(is_dbl, dbl_ref[:, :], num)
-                lam = kf.mul(num, inv)
-                lam2 = kf.mul(lam, lam)
-                x3 = kf.sub(kf.sub(lam2, x1), x2)
-                y3 = kf.sub(kf.mul(lam, kf.sub(x1, x3)), y1)
-                merged = case <= 1
-                xo = kf.sel(merged, x3, x1)
-                yo = kf.sel(merged, y3, y1)
-                take_par = case == 3
-                xo = kf.sel(take_par, x2, xo)
-                yo = kf.sel(take_par, y2, yo)
-                o_ref[0] = jnp.concatenate(
-                    [self._pack(xo), self._pack(yo)], axis=0)
-                oi_ref[0, 0, :] = jnp.where(case == 4, 1, 0)
-
-            grid = (Mw // TB, C)
-            rev_h = pl.BlockSpec((1, Lh, TB), lambda m, c: (C - 1 - c, 0, m),
-                                 memory_space=pltpu.VMEM)
-            rev_f = pl.BlockSpec((1, L, TB), lambda m, c: (C - 1 - c, 0, m),
-                                 memory_space=pltpu.VMEM)
-            rev_1 = pl.BlockSpec((1, 1, TB), lambda m, c: (C - 1 - c, 0, m),
-                                 memory_space=pltpu.VMEM)
-            bspec = pl.BlockSpec((1, Lh, TB), lambda m, c: (0, 0, m),
-                                 memory_space=pltpu.VMEM)
-            fn = pl.pallas_call(
-                kern, grid=grid,
-                in_specs=[rev_h, rev_h, bspec, rev_f, rev_f, rev_1,
-                          pl.BlockSpec((2, L, 128), lambda m, c: (0, 0, 0),
-                                       memory_space=pltpu.VMEM)],
-                out_specs=[rev_f, rev_1],
-                out_shape=[jax.ShapeDtypeStruct((C, L, Mw), jnp.uint32),
-                           jax.ShapeDtypeStruct((C, 1, Mw), jnp.int32)],
-                scratch_shapes=[pltpu.VMEM((2 * L + 1, TB), jnp.uint32),
-                                pltpu.VMEM((L, TB), jnp.uint32),
-                                pltpu.VMEM((L, TB), jnp.uint32)],
-                interpret=_interpret(),
-                compiler_params=_CPARAMS,
-            )
-            self._cache[ck] = jax.jit(fn)
-        st3, inf = self._cache[ck](pe, dC, bpinv[None], stC, spC, caseC,
-                                   self.pec._consts)
-        return st3, inf
-
 
 def _rup128(n):
     return -(-n // 128) * 128

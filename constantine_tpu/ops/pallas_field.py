@@ -110,9 +110,13 @@ class PallasMontMul:
         padded to a block multiple."""
         shape = jnp.broadcast_shapes(a.shape, b.shape)
         n = int(np.prod(shape[:-1]))
-        if n < self.block // 4 and hasattr(self.F, "_xla_mul"):
-            # tiny batches: the pad-to-block + transposes cost more than
-            # the kernel saves; keep the XLA lowering
+        import os
+        min_lanes = int(os.environ.get("CTT_PALLAS_MIN", "0"))
+        if n < min_lanes and hasattr(self.F, "_xla_mul"):
+            # optional floor: below it, keep the XLA lowering. Default 0:
+            # even a 16-lane mul padded to one 512-lane block beats the
+            # ~100 XLA ops of the unfused lowering on device (each tiny
+            # HLO op costs ~1us; the padded kernel is one op).
             return self.F._xla_mul(a, b)
         aT = jnp.broadcast_to(a, shape).reshape(n, self.L).T
         bT = jnp.broadcast_to(b, shape).reshape(n, self.L).T

@@ -27,6 +27,9 @@ from ..ops.sqrt import get_sqrt_fp, get_sqrt_fp2
 from ..ops.towers import build_tower
 
 
+from .audit import vartime as _vartime
+
+
 class BLS12381Codec:
     def __init__(self):
         self.ctx = get_curve("BLS12_381")
@@ -97,6 +100,7 @@ class BLS12381Codec:
         y = fp.cselect(flip, fp.neg(y), y)
         return xm, y, ok
 
+    @_vartime(reason="validates PUBLIC point encodings; branches on encoding flags/lengths only")
     def g1_decompress(self, data, subgroup_check: bool = True):
         """data: bytes (N*48) or (N,48) uint8 array.
         Returns ((x, y) Montgomery affine, inf_mask, valid_mask).
@@ -191,6 +195,7 @@ class BLS12381Codec:
         y = fp2.cselect(flip, fp2.neg(y), y)
         return xm, y, ok
 
+    @_vartime(reason="validates PUBLIC point encodings; branches on encoding flags/lengths only")
     def g2_decompress(self, data, subgroup_check: bool = True):
         """data: bytes (N*96) or (N,96) uint8. x encoded as c1 || c0.
         Returns ((x, y) Fp2 Montgomery affine (N,2,L), inf_mask, valid).

@@ -19,6 +19,10 @@ METRICS = [
     ("eip4844_commit", {"CTT_BENCH_METRIC": "eip4844_commit"}),
     ("eip4844_commit_batch", {"CTT_BENCH_METRIC": "eip4844_commit_batch"}),
     ("eip4844_verify", {"CTT_BENCH_METRIC": "eip4844_verify"}),
+    ("eip4844_verify_blob_batch",
+     {"CTT_BENCH_METRIC": "eip4844_verify_blob_batch"}),
+    ("msm_2^20", {"CTT_BENCH_METRIC": "msm", "CTT_BENCH_N": "1048576",
+                  "CTT_BENCH_REPS": "2"}),
 ]
 
 

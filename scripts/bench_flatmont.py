@@ -13,6 +13,14 @@ All three big steps are sums of independent row-products — ILP-rich —
 plus Kogge-Stone carry normalizations (log-depth). ~30% more vector ops
 than CIOS but ~2x shorter critical path; wins iff the kernel is
 latency-bound (which flush profiling says it is).
+
+MEASURED (v5e, 2026-08-22): correctness OK, but 16.1 us/mul vs CIOS
+7.1 us — 2.3x SLOWER. The fully-unrolled accumulation trees (2L^2 row
+adds as straight-line SSA) blow the scheduler/register budget instead of
+pipelining; the critical-path win never materializes. Round-5 direction:
+don't pursue flat reduction in this form — either restructure the
+accumulation as (8,TB)-tile adds (vreg-shaped, not row-shaped) or accept
+the CIOS latency floor and scale via batch instead.
 """
 import os
 import sys

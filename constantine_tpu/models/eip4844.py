@@ -225,7 +225,7 @@ def verify_blob_kzg_proof_batch(blobs, commitments, proofs, kzg: KZG = None,
         return True
     from .pairing_check import kzg_pairing_verify_batch
     codec = get_codec()
-    polys, zs, ys = [], [], []
+    polys, zs = [], []
     if any(p is None or len(p) != 48 for p in proofs):
         return None
     for blob, c in zip(blobs, commitments):
@@ -234,12 +234,14 @@ def verify_blob_kzg_proof_batch(blobs, commitments, proofs, kzg: KZG = None,
             return None
         if c is None or len(c) != 48:
             return None
-        z = compute_challenge(blob, c)
-        evals_mont = kzg.fr.to_mont(jnp.asarray(poly))
-        y, _, _ = kzg.eval_at(evals_mont, z)
         polys.append(poly)
-        zs.append(z)
-        ys.append(y)
+        zs.append(compute_challenge(blob, c))
+    # ONE device program evaluates every blob's polynomial (the loop above
+    # is host-only parsing + hashing): at B=64 the previous per-blob
+    # eval_at dispatches cost ~64 tunnel round trips (~1.6 s) alone.
+    evals_mont = kzg.fr.to_mont(jnp.asarray(np.stack(polys)))
+    zs_j = jnp.stack([jnp.asarray(z) for z in zs])
+    ys_j, _, _ = jax.vmap(kzg.eval_at)(evals_mont, zs_j)
     (cx, cy), cinf, cok = codec.g1_decompress(b"".join(commitments))
     (px, py), pinf, pok = codec.g1_decompress(b"".join(proofs))
     if not (np.asarray(cok).all() and np.asarray(pok).all()):
@@ -256,5 +258,5 @@ def verify_blob_kzg_proof_batch(blobs, commitments, proofs, kzg: KZG = None,
     r_powers = [pow(r, i, kzg.ctx.r) for i in range(n)]
     return kzg_pairing_verify_batch(
         kzg, (cx, cy, cinf), (px, py, pinf),
-        jnp.stack(zs), jnp.stack(ys),
+        zs_j, ys_j,
         jnp.asarray(kzg.fr.encode(r_powers)))

@@ -64,6 +64,24 @@ def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
+def _inc0(v):
+    """Add 1 to digit row 0 of (L, TB) digits (no scatter: Mosaic has no
+    scatter-add lowering — rebuild row 0 by concatenation)."""
+    return jnp.concatenate([v[0:1] + jnp.uint32(1), v[1:]], axis=0)
+
+
+def _use_ks() -> bool:
+    """Log-depth (Kogge-Stone) carry propagation instead of the serial
+    L-step ripple. Measured on v5e: the MSM kernels are VPU-ISSUE-bound
+    (grid steps / independent field ops overlap enough to hide the ripple
+    latency), so KS's extra full-block ops LOSE there — default off; the
+    pairing kernel (one long dependency chain, latency-bound at small
+    batch) opts in via the _KF(ks=True) constructor arg. CTT_KS=1 forces
+    it on everywhere (A/B tooling: scripts/bench_ks.py)."""
+    import os
+    return os.environ.get("CTT_KS", "0") == "1"
+
+
 class _KF:
     """Kernel-side field ops on (L, B) planar-transposed uint32 blocks.
 
@@ -71,33 +89,160 @@ class _KF:
     (2L+1, B) VMEM scratch used by every multiplication in the kernel.
     """
 
-    def __init__(self, L, p_limbs, m0, p_col, one_col, t_ref):
+    def __init__(self, L, p_limbs, m0, p_col, one_col, t_ref, ks=None):
         self.L = L
         self.p_limbs = p_limbs          # python ints (host constants)
         self.m0 = np.uint32(m0)
         self.p_col = p_col              # (L, 1) jnp, broadcasts over lanes
         self.one_col = one_col          # (L, 1) jnp
         self.t = t_ref
+        self.ks = _use_ks() if ks is None else ks
+        # (2^(16L) - 1 - p) per-digit complement, derived from the in-kernel
+        # p column (a captured numpy constant would trip the pallas "no
+        # captured consts" rule); users inject the missing +1 at digit 0.
+        self._comp_p1 = MASK - p_col                  # (L, 1) jnp
+
+    # -- log-depth carry propagation --------------------------------------
+
+    def _shd(self, v, d):
+        """Shift rows down by d (row i <- row i-d, zeros in)."""
+        L = v.shape[0]
+        z = jnp.zeros((d,) + v.shape[1:], v.dtype)
+        return jnp.concatenate([z, v[: L - d]], axis=0)
+
+    def norm_ks(self, v, pre_rounds: int = 0, carry_in=None):
+        """Exact canonicalization of (L, TB) digits via Kogge-Stone.
+
+        v: digits each < 2^17 * 2^(6*pre_rounds)-ish — pre_rounds multi-bit
+        carry rounds bring the bound under 2^17, then one boolean
+        generate/propagate prefix pass finishes. Returns (canonical digits
+        (L, TB) all <= 0xFFFF, carry_out (TB,) total overflow past digit
+        L-1 — for values known < 2^(16L) it is the comparison bit)."""
+        L = self.L
+        co = carry_in if carry_in is not None \
+            else jnp.zeros(v.shape[1:], v.dtype)
+        for _ in range(pre_rounds):
+            c = v >> W
+            co = co + c[L - 1]
+            v = (v & MASK) + self._shd(c, 1)
+        # boolean KS: digits now <= MASK + small  =>  g in {0, 1}
+        g = v >> W
+        p = (v & MASK) == MASK
+        G, P = g, p.astype(jnp.uint32)
+        d = 1
+        while d < L:
+            G = G | (P & self._shd(G, d))
+            P = P & self._shd(P, d)
+            d *= 2
+        cin = self._shd(G, 1)
+        out = (v + cin) & MASK
+        co = co + G[L - 1]
+        return out, co
+
+    def _redc_tail(self, rows_arr, carry0):
+        """Shared mul/sq tail: rows_arr (L+1, TB) raw accumulator rows
+        (digits < 2^23), carry0 (TB,) extra carry into row 0. Returns the
+        canonical Montgomery result with the conditional -p fold."""
+        L = self.L
+        v = rows_arr[:L] + jnp.concatenate(
+            [carry0[None], jnp.zeros((L - 1,) + carry0.shape, jnp.uint32)], 0)
+        # row L (hi) can only be reached through carry propagation of the
+        # value itself: fold it as an explicit carry-out seed.
+        out, co = self.norm_ks(v, pre_rounds=1,
+                               carry_in=rows_arr[L])
+        u = _inc0(out + self._comp_p1)
+        out2, co2 = self.norm_ks(u, pre_rounds=0)
+        take = ((co + co2) > 0)[None, :]
+        return jnp.where(take, out2, out)
 
     # -- Montgomery multiplication (no-shift CIOS) -------------------------
 
     def mul(self, a, b):
+        import os
+        if self.L % 2 == 0 and os.environ.get("CTT_MUL2", "1") == "1":
+            return self._mul2(a, b)
+        return self._mul1(a, b)
+
+    def _mul2(self, a, b):
+        """CIOS processing TWO digits of `a` per round: the four per-digit
+        scratch RMWs collapse into ONE (L+2)-row RMW per digit pair and the
+        round count halves — measured faster than the 1-digit round (the
+        kernel is VPU-issue-bound; scratch slice ld/st are issue slots)."""
+        L, t = self.L, self.t
+        TB = a.shape[1]
+        t[:, :] = jnp.zeros((2 * L + 1, TB), jnp.uint32)
+        carry = jnp.zeros((1, TB), jnp.uint32)
+        z1 = jnp.zeros((1, TB), jnp.uint32)
+        z2 = jnp.zeros((2, TB), jnp.uint32)
+        for i in range(0, L, 2):
+            A0 = a[i:i + 1, :] * b
+            A1 = a[i + 1:i + 2, :] * b
+            loA0 = A0 & MASK
+            hiA0 = A0 >> W
+            loA1 = A1 & MASK
+            hiA1 = A1 >> W
+            cur0 = t[i:i + 1, :] + loA0[0:1, :] + carry
+            m0 = (cur0 * self.m0) & MASK
+            P0 = m0 * self.p_col
+            lo20 = P0 & MASK
+            hi20 = P0 >> W
+            c0 = (cur0 + lo20[0:1, :]) >> W
+            cur1 = (t[i + 1:i + 2, :] + loA0[1:2, :] + hiA0[0:1, :]
+                    + loA1[0:1, :] + lo20[1:2, :] + hi20[0:1, :] + c0)
+            m1 = (cur1 * self.m0) & MASK
+            P1 = m1 * self.p_col
+            lo21 = P1 & MASK
+            hi21 = P1 >> W
+            carry = (cur1 + lo21[0:1, :]) >> W
+            u0 = loA0 + lo20                       # row offset 0
+            u1 = hiA0 + loA1 + hi20 + lo21         # row offset 1
+            u2 = hiA1 + hi21                       # row offset 2
+            t[i:i + L + 2, :] = t[i:i + L + 2, :] + (
+                jnp.concatenate([u0, z2], 0)
+                + jnp.concatenate([z1, u1, z1], 0)
+                + jnp.concatenate([z2, u2], 0))
+        if self.ks:
+            return self._redc_tail(t[L:2 * L + 1, :], carry[0])
+        rows = [t[L + i, :] for i in range(L)] + [t[2 * L, :]]
+        rows[0] = rows[0] + carry[0]
+        for i in range(L):                            # single final ripple
+            c = rows[i] >> W
+            rows[i] = rows[i] & MASK
+            rows[i + 1] = rows[i + 1] + c
+        hi_bit = rows[L]
+        diff = []
+        c = jnp.ones_like(rows[0])
+        for i in range(L):                            # conditional -p
+            s = rows[i] + (MASK - np.uint32(self.p_limbs[i])) + c
+            diff.append(s & MASK)
+            c = s >> W
+        take = (hi_bit == 1) | (c == 1)
+        return jnp.stack(
+            [jnp.where(take, d, r) for d, r in zip(diff, rows[:L])], 0)
+
+    def _mul1(self, a, b):
         L, t = self.L, self.t
         TB = a.shape[1]
         t[:, :] = jnp.zeros((2 * L + 1, TB), jnp.uint32)
         carry = jnp.zeros((1, TB), jnp.uint32)
         for i in range(L):
             prod = a[i:i + 1, :] * b                 # (L, TB) 16x16 exact
-            t[i:i + L, :] = t[i:i + L, :] + (prod & MASK)
-            t[i + 1:i + L + 1, :] = t[i + 1:i + L + 1, :] + (prod >> W)
-            cur = t[i:i + 1, :] + carry
+            lo = prod & MASK
+            # m from the pre-update column i (no intermediate store): the
+            # combined two-RMW round halves scratch load/store traffic vs
+            # the four-RMW form (measured win — the flush madd is
+            # issue-bound, so every slice ld/st counts).
+            cur = t[i:i + 1, :] + lo[0:1, :] + carry
             m = (cur * self.m0) & MASK               # (1, TB)
             prod2 = m * self.p_col                   # (L, TB)
             lo2 = prod2 & MASK
-            t[i:i + L, :] = t[i:i + L, :] + lo2
-            t[i + 1:i + L + 1, :] = t[i + 1:i + L + 1, :] + (prod2 >> W)
+            t[i:i + L, :] = t[i:i + L, :] + (lo + lo2)
+            t[i + 1:i + L + 1, :] = \
+                t[i + 1:i + L + 1, :] + ((prod >> W) + (prod2 >> W))
             # column i is exactly 0 mod 2^16 now; carry feeds column i+1
             carry = (cur + lo2[0:1, :]) >> W
+        if self.ks:
+            return self._redc_tail(t[L:2 * L + 1, :], carry[0])
         rows = [t[L + i, :] for i in range(L)] + [t[2 * L, :]]
         rows[0] = rows[0] + carry[0]
         for i in range(L):                            # single final ripple
@@ -128,6 +273,7 @@ class _KF:
         t[:, :] = jnp.zeros((2 * L + 1, TB), jnp.uint32)
         carry = jnp.zeros((1, TB), jnp.uint32)
         one = np.uint32(1)
+        z1 = jnp.zeros((1, a.shape[1]), jnp.uint32)
         for i in range(L):
             prod = a[i:i + 1, :] * a[i:, :]          # rows j=i..L-1
             lo = prod & MASK
@@ -135,15 +281,20 @@ class _KF:
             if L - i > 1:                            # double off-diagonals
                 lo = jnp.concatenate([lo[0:1], lo[1:] << one], 0)
                 hi = jnp.concatenate([hi[0:1], hi[1:] << one], 0)
-            t[2 * i:i + L, :] = t[2 * i:i + L, :] + lo
-            t[2 * i + 1:i + L + 1, :] = t[2 * i + 1:i + L + 1, :] + hi
+            # single fused product RMW on rows 2i..i+L
+            t[2 * i:i + L + 1, :] = t[2 * i:i + L + 1, :] + (
+                jnp.concatenate([lo, z1], 0) + jnp.concatenate([z1, hi], 0))
             cur = t[i:i + 1, :] + carry
             m = (cur * self.m0) & MASK               # (1, TB)
             prod2 = m * self.p_col                   # (L, TB)
             lo2 = prod2 & MASK
-            t[i:i + L, :] = t[i:i + L, :] + lo2
-            t[i + 1:i + L + 1, :] = t[i + 1:i + L + 1, :] + (prod2 >> W)
+            # single fused reduction RMW on rows i..i+L
+            t[i:i + L + 1, :] = t[i:i + L + 1, :] + (
+                jnp.concatenate([lo2, z1], 0)
+                + jnp.concatenate([z1, prod2 >> W], 0))
             carry = (cur + lo2[0:1, :]) >> W
+        if self.ks:
+            return self._redc_tail(t[L:2 * L + 1, :], carry[0])
         rows = [t[L + i, :] for i in range(L)] + [t[2 * L, :]]
         rows[0] = rows[0] + carry[0]
         for i in range(L):                            # single final ripple
@@ -166,6 +317,13 @@ class _KF:
     def add(self, a, b):
         L = self.L
         s = a + b
+        if self.ks:
+            # both normalization passes are independent -> their dependent
+            # KS levels interleave in the VPU pipeline
+            out1, _ = self.norm_ks(s, 0)              # a + b < 2p < 2^16L
+            u = _inc0(s + self._comp_p1)
+            out2, co2 = self.norm_ks(u, 1)
+            return jnp.where((co2 > 0)[None, :], out2, out1)
         out = []
         c = jnp.zeros((a.shape[1],), jnp.uint32)
         for i in range(L):
@@ -184,6 +342,11 @@ class _KF:
 
     def sub(self, a, b):
         L = self.L
+        if self.ks:
+            u = _inc0(a + (MASK - b))                  # a - b + 2^16L
+            out1, co1 = self.norm_ks(u, 0)            # co1 > 0  <=>  a >= b
+            out2, _ = self.norm_ks(u + self.p_col, 1)  # (a - b + p) branch
+            return jnp.where((co1 == 0)[None, :], out2, out1)
         out = []
         c = jnp.ones((a.shape[1],), jnp.uint32)
         for i in range(L):

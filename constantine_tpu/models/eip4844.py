@@ -173,15 +173,64 @@ def _validate_g1_bytes(data: bytes) -> bool:
     return bool(np.asarray(valid).all())
 
 
+def _use_fused() -> bool:
+    """Fused single-dispatch verify kernels (Pallas pairing) on
+    accelerators; the XLA tower path on CPU (tests) where interpret-mode
+    Pallas pairing compile cost would dominate. CTT_FUSED_VERIFY=0/1
+    overrides."""
+    import os
+    env = os.environ.get("CTT_FUSED_VERIFY")
+    if env is not None:
+        return env == "1"
+    return jax.default_backend() != "cpu"
+
+
+def _parse_scalar_host(data: bytes):
+    """32-byte BE scalar -> ((L,) canonical np limbs, valid) — host only."""
+    if data is None or len(data) != BYTES_PER_FIELD_ELEMENT:
+        return None, False
+    codec = get_codec()
+    limbs, valid = codec.scalars_from_bytes(data)
+    return limbs[0], bool(valid.all())
+
+
 def verify_kzg_proof(commitment_bytes: bytes, z_bytes: bytes, y_bytes: bytes,
                      proof_bytes: bytes, kzg: KZG = None):
     """-> bool, or None on malformed input (ethereum_eip4844_kzg.nim:380).
-    Pairing check: e(P - [y]G1, G2) == e(proof, [tau]G2 - [z]G2)."""
+    Pairing check: e(P - [y]G1, G2) == e(proof, [tau]G2 - [z]G2).
+
+    ONE device dispatch: decompress (sqrt + subgroup), fixed-base scalar
+    muls, affine conversions and the fused Pallas pairing check all trace
+    into verify_fused.FusedVerifier.verify_kernel."""
     kzg = kzg or get_kzg()
     if (commitment_bytes is None or len(commitment_bytes) != 48
             or proof_bytes is None or len(proof_bytes) != 48):
         return None
-    from .pairing_check import kzg_pairing_verify  # late import (heavy)
+    if not _use_fused():
+        return _verify_kzg_proof_xla(commitment_bytes, z_bytes, y_bytes,
+                                     proof_bytes, kzg)
+    from .verify_fused import get_verifier, parse_g1_host
+    cx, csign, cinf, chost = parse_g1_host(commitment_bytes)
+    px, psign, pinf, phost = parse_g1_host(proof_bytes)
+    z_l, ok1 = _parse_scalar_host(z_bytes)
+    y_l, ok2 = _parse_scalar_host(y_bytes)
+    if not (ok1 and ok2):
+        return None
+    v = get_verifier()
+    out = np.asarray(jax.device_get(v.verify_kernel(
+        jnp.asarray(cx), jnp.asarray(csign), jnp.asarray(cinf),
+        jnp.asarray(px), jnp.asarray(psign), jnp.asarray(pinf),
+        jnp.asarray(z_l), jnp.asarray(y_l))))
+    if not (chost.all() and phost.all() and out[1] and out[2]):
+        return None
+    return bool(out[0])
+
+
+def _verify_kzg_proof_xla(commitment_bytes, z_bytes, y_bytes, proof_bytes,
+                          kzg=None):
+    """Pre-fusion path (XLA tower pairing) — kept as the CPU/test backend."""
+    kzg = kzg or get_kzg()
+    from .pairing_check import kzg_pairing_verify
     codec = get_codec()
     (cx, cy), cinf, cok = codec.g1_decompress(commitment_bytes)
     (px, py), pinf, pok = codec.g1_decompress(proof_bytes)
@@ -197,20 +246,39 @@ def verify_kzg_proof(commitment_bytes: bytes, z_bytes: bytes, y_bytes: bytes,
 
 def verify_blob_kzg_proof(blob: bytes, commitment_bytes: bytes,
                           proof_bytes: bytes, kzg: KZG = None):
-    """-> bool or None (ethereum_eip4844_kzg.nim:449)."""
+    """-> bool or None (ethereum_eip4844_kzg.nim:449). One device
+    dispatch: barycentric eval + decompress + fused pairing check."""
     kzg = kzg or get_kzg()
     poly, ok = blob_to_polynomial(blob)
     if not ok:
         return None
     if len(commitment_bytes) != 48 or len(proof_bytes) != 48:
         return None
-    z = compute_challenge(blob, commitment_bytes)
-    evals_mont = kzg.fr.to_mont(jnp.asarray(poly))
-    y, _hit, _ = kzg.eval_at(evals_mont, z)
-    return verify_kzg_proof(commitment_bytes,
-                            _fr_mont_to_bytes(z),
-                            _fr_mont_to_bytes(y),
-                            proof_bytes, kzg)
+    if not _use_fused():
+        z = compute_challenge(blob, commitment_bytes)
+        evals_mont = kzg.fr.to_mont(jnp.asarray(poly))
+        y, _hit, _ = kzg.eval_at(evals_mont, z)
+        return _verify_kzg_proof_xla(commitment_bytes,
+                                     _fr_mont_to_bytes(z),
+                                     _fr_mont_to_bytes(y),
+                                     proof_bytes, kzg)
+    from .verify_fused import get_verifier, parse_g1_host
+    cx, csign, cinf, chost = parse_g1_host(commitment_bytes)
+    px, psign, pinf, phost = parse_g1_host(proof_bytes)
+    codec = get_codec()
+    z_int = int.from_bytes(
+        sha256(FIAT_SHAMIR_PROTOCOL_DOMAIN
+               + FIELD_ELEMENTS_PER_BLOB.to_bytes(16, "big")
+               + blob + commitment_bytes), "big") % codec.ctx.r
+    z_l = lb.int_to_limbs(z_int, codec.fr.L)
+    v = get_verifier()
+    out = np.asarray(jax.device_get(v.verify_blob_kernel(
+        jnp.asarray(poly), jnp.asarray(z_l),
+        jnp.asarray(cx), jnp.asarray(csign), jnp.asarray(cinf),
+        jnp.asarray(px), jnp.asarray(psign), jnp.asarray(pinf))))
+    if not (chost.all() and phost.all() and out[1] and out[2]):
+        return None
+    return bool(out[0])
 
 
 def verify_blob_kzg_proof_batch(blobs, commitments, proofs, kzg: KZG = None,
@@ -223,7 +291,10 @@ def verify_blob_kzg_proof_batch(blobs, commitments, proofs, kzg: KZG = None,
         return None
     if len(blobs) == 0:
         return True
-    from .pairing_check import kzg_pairing_verify_batch
+    if not _use_fused():
+        return _verify_blob_kzg_proof_batch_xla(blobs, commitments, proofs,
+                                                kzg)
+    from .verify_fused import get_verifier, parse_g1_host
     codec = get_codec()
     polys, zs = [], []
     if any(p is None or len(p) != 48 for p in proofs):
@@ -235,10 +306,47 @@ def verify_blob_kzg_proof_batch(blobs, commitments, proofs, kzg: KZG = None,
         if c is None or len(c) != 48:
             return None
         polys.append(poly)
+        z_int = int.from_bytes(
+            sha256(FIAT_SHAMIR_PROTOCOL_DOMAIN
+                   + FIELD_ELEMENTS_PER_BLOB.to_bytes(16, "big")
+                   + blob + c), "big") % codec.ctx.r
+        zs.append(lb.int_to_limbs(z_int, codec.fr.L))
+    cx, csign, cinf, chost = parse_g1_host(b"".join(commitments))
+    px, psign, pinf, phost = parse_g1_host(b"".join(proofs))
+    # batch randomness: r_powers from sha256 transcript (spec
+    # compute_powers path)
+    n = len(blobs)
+    data = (RANDOM_CHALLENGE_KZG_BATCH_DOMAIN
+            + FIELD_ELEMENTS_PER_BLOB.to_bytes(8, "big")
+            + n.to_bytes(8, "big"))
+    for blob, c, p in zip(blobs, commitments, proofs):
+        data += blob + c + p
+    r = int.from_bytes(sha256(data), "big") % kzg.ctx.r
+    r_powers = [pow(r, i, kzg.ctx.r) for i in range(n)]
+    # ONE device program: every blob's barycentric eval, every point
+    # decompression, the random-linear-combination MSM fold and the
+    # 2-pairing check trace into verify_batch_kernel.
+    v = get_verifier()
+    out = np.asarray(jax.device_get(v.verify_batch_kernel(
+        jnp.asarray(np.stack(polys)), jnp.asarray(np.stack(zs)),
+        jnp.asarray(cx), jnp.asarray(csign), jnp.asarray(cinf),
+        jnp.asarray(px), jnp.asarray(psign), jnp.asarray(pinf),
+        jnp.asarray(kzg.fr.encode(r_powers)))))
+    if not (chost.all() and phost.all() and out[1] and out[2]):
+        return None
+    return bool(out[0])
+
+
+def _verify_blob_kzg_proof_batch_xla(blobs, commitments, proofs, kzg=None):
+    """Pre-fusion batch path (XLA tower pairing) — CPU/test backend."""
+    kzg = kzg or get_kzg()
+    from .pairing_check import kzg_pairing_verify_batch
+    codec = get_codec()
+    polys, zs = [], []
+    for blob, c in zip(blobs, commitments):
+        poly, _ = blob_to_polynomial(blob)
+        polys.append(poly)
         zs.append(compute_challenge(blob, c))
-    # ONE device program evaluates every blob's polynomial (the loop above
-    # is host-only parsing + hashing): at B=64 the previous per-blob
-    # eval_at dispatches cost ~64 tunnel round trips (~1.6 s) alone.
     evals_mont = kzg.fr.to_mont(jnp.asarray(np.stack(polys)))
     zs_j = jnp.stack([jnp.asarray(z) for z in zs])
     ys_j, _, _ = jax.vmap(kzg.eval_at)(evals_mont, zs_j)
@@ -246,8 +354,6 @@ def verify_blob_kzg_proof_batch(blobs, commitments, proofs, kzg: KZG = None,
     (px, py), pinf, pok = codec.g1_decompress(b"".join(proofs))
     if not (np.asarray(cok).all() and np.asarray(pok).all()):
         return None
-    # batch randomness: r_powers from sha256 transcript (spec
-    # compute_powers path)
     n = len(blobs)
     data = (RANDOM_CHALLENGE_KZG_BATCH_DOMAIN
             + FIELD_ELEMENTS_PER_BLOB.to_bytes(8, "big")

@@ -445,7 +445,8 @@ def eth_evm_bls12381_g2msm(data: bytes) -> bytes:
     if not bool(okv.all()):
         return None
     sl = jnp.asarray(ctx.scalars_to_limbs([s % ctx.r for s in scalars]))
-    R = msm(ctx.g2, (qx, qy), sl, scalar_bits=255)
+    from ..ops.glv import msm_gls4_g2
+    R = msm_gls4_g2(ctx, (qx, qy), sl)   # 4-dim GLS pre-split (EIP-2537)
     (x, y), inf = ctx.g2.to_affine(tuple(t[None] for t in R))
     if bool(np.asarray(inf)[0]):
         return b"\x00" * 256

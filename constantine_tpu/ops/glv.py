@@ -303,3 +303,195 @@ def scalar_mul_glv(ctx, scalars, P_aff):
     half1 = tuple(t[:n] for t in acc)
     half2 = tuple(t[n:] for t in acc)
     return ctx.g1.add(half1, half2)
+
+
+# ---------------------------------------------------------------------------
+# GLS-4: 4-dimensional decomposition for BLS12 G2 (psi acts as [u])
+# ---------------------------------------------------------------------------
+
+
+def _det4(m):
+    """4x4 integer determinant (cofactor expansion)."""
+    def det3(a):
+        return (a[0][0] * (a[1][1] * a[2][2] - a[1][2] * a[2][1])
+                - a[0][1] * (a[1][0] * a[2][2] - a[1][2] * a[2][0])
+                + a[0][2] * (a[1][0] * a[2][1] - a[1][1] * a[2][0]))
+    tot = 0
+    for j in range(4):
+        minor = [[m[i][k] for k in range(4) if k != j] for i in range(1, 4)]
+        tot += (-1) ** j * m[0][j] * det3(minor)
+    return tot
+
+
+def _cofactor4(m, i, j):
+    def det3(a):
+        return (a[0][0] * (a[1][1] * a[2][2] - a[1][2] * a[2][1])
+                - a[0][1] * (a[1][0] * a[2][2] - a[1][2] * a[2][0])
+                + a[0][2] * (a[1][0] * a[2][1] - a[1][1] * a[2][0]))
+    minor = [[m[r][c] for c in range(4) if c != j]
+             for r in range(4) if r != i]
+    return (-1) ** (i + j) * det3(minor)
+
+
+class GLS4:
+    """4-dim GLS decomposition for BLS12 G2: k = k0 + k1 L + k2 L^2 + k3 L^3
+    (mod r) with L = u (the curve parameter — psi(Q) = [u]Q on G2[r]).
+
+    Re-design of the reference's m=4 decomposeEndo
+    (constantine/math/endomorphisms/split_scalars.nim:95-125 with the
+    babai constants of named/constants/bls12_381_endomorphisms.nim): the
+    lattice basis is derived here from r(u) = u^4 - u^2 + 1 instead of
+    hardcoded — rows (u,-1,0,0), (0,u,-1,0), (0,0,u,-1), (1,0,-1,u) all
+    annihilate (1, L, L^2, L^3) mod r and have determinant +-r. Babai
+    rounding runs on device as four Barrett products (same machinery as
+    the 2-dim GLV above); mini-scalars come out as magnitude+sign lanes.
+    """
+
+    def __init__(self, ctx):
+        params = ctx.params
+        assert params.family == "bls12" and params.x_param, \
+            f"{ctx.name}: GLS4 needs a BLS12 curve"
+        u, r = params.x_param, ctx.r
+        lam = u % r
+        Bm = [[u, -1, 0, 0], [0, u, -1, 0], [0, 0, u, -1], [1, 0, -1, u]]
+        for row in Bm:
+            assert (row[0] + row[1] * lam + row[2] * lam**2
+                    + row[3] * lam**3) % r == 0, "basis row not in lattice"
+        det = _det4(Bm)
+        assert abs(det) == r, (det, r)
+        self.ctx = ctx
+        self.lam = lam
+        self.basis = Bm
+        # c = (k,0,0,0) B^-1  =>  c_i = k * C[i][0] / det  (adjugate)
+        w = [_cofactor4(Bm, i, 0) for i in range(4)]
+        if det < 0:
+            w = [-x for x in w]
+        B = 1 << _BARRETT_BITS
+        self.w_limbs, self.w_sign = [], []
+        for wi in w:
+            self.w_sign.append(-1 if wi < 0 else 1)
+            scaled = (abs(wi) * B + r // 2) // r
+            self.w_limbs.append(lb.int_to_limbs(
+                scaled, lb.num_limbs(max(1, scaled.bit_length()))))
+
+        maxv = max(abs(x) for row in Bm for x in row)
+        self.mini_bits = maxv.bit_length() + 3
+        self.LM = lb.num_limbs(self.mini_bits + WORD_BITS)
+        Wm = 1 << (WORD_BITS * self.LM)
+        # update constants: k_j = [j==0]*k - sum_i c_i * (s_i * B[i][j])
+        self.m_consts = [[lb.int_to_limbs(
+            (self.w_sign[i] * Bm[i][j]) % Wm, self.LM)
+            for j in range(4)] for i in range(4)]
+        self._validate()
+        self.decompose = jax.jit(self.decompose)
+
+    def _decompose_host(self, k: int):
+        B = 1 << _BARRETT_BITS
+        r = self.ctx.r
+        cs = []
+        for wl in self.w_limbs:
+            wv = sum(int(v) << (WORD_BITS * i) for i, v in enumerate(wl))
+            cs.append((k * wv + B // 2) >> _BARRETT_BITS)   # magnitudes
+        ks = []
+        for j in range(4):
+            v = (k if j == 0 else 0)
+            for i in range(4):
+                v -= cs[i] * (self.w_sign[i] * self.basis[i][j])
+            ks.append(v)
+        return ks
+
+    def _validate(self):
+        import random
+        rng = random.Random(0xA7C4)
+        r, lam = self.ctx.r, self.lam
+        for _ in range(64):
+            k = rng.randrange(r)
+            ks = self._decompose_host(k)
+            acc = sum(ki * pow(lam, i, r) for i, ki in enumerate(ks))
+            assert (acc - k) % r == 0, "GLS4 decomposition broken"
+            assert max(abs(x) for x in ks) < (1 << self.mini_bits), \
+                (k, ks, self.mini_bits)
+
+    def decompose(self, scalars):
+        """(N, Ls) canonical limbs -> [(k_i (N, LM), neg_i (N,)) x 4]."""
+        cs = [_mul_const_shift(scalars, wl, _BARRETT_LIMBS, self.LM)
+              for wl in self.w_limbs]
+        k_mod = _truncate_mod(scalars, self.LM)
+        outs = []
+        for j in range(4):
+            acc = jnp.zeros_like(k_mod) if j else k_mod
+            s = None
+            for i in range(4):
+                t = _mul_const_low(cs[i], self.m_consts[i][j])
+                s = t if s is None else _mask_top(lb.add_carry(s, t)[0])
+            raw, _ = lb.sub_borrow(acc, s)
+            outs.append(_abs_sign(_mask_top(raw)))
+        return outs
+
+
+@functools.lru_cache(maxsize=None)
+def get_gls4(curve_name: str) -> GLS4:
+    from ..named.precompute import get_curve
+    return GLS4(get_curve(curve_name))
+
+
+def _psi_affine(ctx, xy):
+    """psi on affine G2 points: (conj(x) psi_x, conj(y) psi_y) — the
+    untwist-Frobenius-twist map (models/hash_to_curve psi, affine form)."""
+    from ..models.hash_to_curve import get_h2c
+    from .towers import build_tower
+    h2c = get_h2c()
+    fp2 = build_tower(ctx.name)[0]
+    x, y = xy
+    px = jnp.broadcast_to(jnp.asarray(h2c.psi_x), x.shape)
+    py = jnp.broadcast_to(jnp.asarray(h2c.psi_y), y.shape)
+    return (fp2.mul(fp2.conj(x), px), fp2.mul(fp2.conj(y), py))
+
+
+def scalar_mul_gls4_g2(ctx, scalars, Q_aff):
+    """CT G2 scalar mul via 4-dim GLS (scalarMulEndo m=4 analogue,
+    ec_scalar_mul.nim:267): [k]Q = sum_i [k_i] psi^i(Q) — four ~65-bit
+    ladders run as ONE 4x batch, then a 2-level add tree. ~3.4x fewer
+    ladder steps than the 255-bit ladder."""
+    gls = get_gls4(ctx.name)
+    parts = gls.decompose(scalars)
+    g2 = ctx.g2
+    pts, ks = [], []
+    cur = Q_aff
+    for i in range(4):
+        ki, neg = parts[i]
+        pts.append(g2.aff_cneg(neg, cur))
+        ks.append(ki)
+        if i < 3:
+            cur = _psi_affine(ctx, cur)
+    xs = jnp.concatenate([p[0] for p in pts], axis=0)
+    ys = jnp.concatenate([p[1] for p in pts], axis=0)
+    kk = jnp.concatenate(ks, axis=0)
+    acc = g2.scalar_mul(kk, g2.from_affine((xs, ys)),
+                        scalar_bits=gls.mini_bits)
+    n = Q_aff[0].shape[0]
+    h01 = g2.add(tuple(t[:n] for t in acc), tuple(t[n:2 * n] for t in acc))
+    h23 = g2.add(tuple(t[2 * n:3 * n] for t in acc),
+                 tuple(t[3 * n:] for t in acc))
+    return g2.add(h01, h23)
+
+
+def msm_gls4_g2(ctx, points_aff, scalars, c: int = None):
+    """G2 MSM with the 4-dim pre-split (applyEndomorphism m=4 analogue):
+    N points / 255-bit scalars -> 4N points / ~65-bit scalars."""
+    from .msm import msm
+    gls = get_gls4(ctx.name)
+    parts = gls.decompose(scalars)
+    g2 = ctx.g2
+    pts, ks = [], []
+    cur = points_aff
+    for i in range(4):
+        ki, neg = parts[i]
+        pts.append(g2.aff_cneg(neg, cur))
+        ks.append(ki)
+        if i < 3:
+            cur = _psi_affine(ctx, cur)
+    xs = jnp.concatenate([p[0] for p in pts], axis=0)
+    ys = jnp.concatenate([p[1] for p in pts], axis=0)
+    kk = jnp.concatenate(ks, axis=0)
+    return msm(g2, (xs, ys), kk, c=c, scalar_bits=gls.mini_bits, glv=False)

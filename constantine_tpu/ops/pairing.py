@@ -250,8 +250,27 @@ class PairingBase:
         skip_mask = jnp.concatenate([base, jnp.ones((pad,), jnp.bool_)])
         return p_aff, q_aff, skip_mask, n
 
+    def _pallas_engine(self):
+        """Fused Pallas pairing kernels (ops/pallas_pairing.py) when
+        available for this curve/backend: BLS12-381, accelerator backends
+        (the XLA tower path stays the CPU/test implementation and the
+        generic-curve fallback). CTT_PALLAS_PAIR_OFF=1 disables."""
+        import os
+        if os.environ.get("CTT_PALLAS_PAIR_OFF") == "1":
+            return None
+        if getattr(self.ctx, "name", None) != "BLS12_381":
+            return None
+        if jax.default_backend() == "cpu" \
+                and os.environ.get("CTT_PALLAS_PAIRING") != "1":
+            return None
+        from .pallas_pairing import get_pallas_pairing
+        return get_pallas_pairing()
+
     def pairing(self, p_aff, q_aff):
         """e(P, Q) batched (pairings_generic.nim:19)."""
+        pp = self._pallas_engine()
+        if pp is not None:
+            return pp.pairing(p_aff, q_aff)
         p_aff, q_aff, skip, n = self._pad_pairs(p_aff, q_aff, None)
         return self.final_exp(self.miller_loop(p_aff, q_aff))[:n]
 
@@ -259,6 +278,9 @@ class PairingBase:
         """prod_i e(P_i, Q_i): batched Miller, log-tree product, ONE final
         exp (pairings_bls12.nim:155-180 multi-pairing analogue).
         skip_mask: (B,) True entries contribute the identity."""
+        pp = self._pallas_engine()
+        if pp is not None:
+            return pp.multi_pairing(p_aff, q_aff, skip_mask)
         fp12 = self.fp12
         p_aff, q_aff, skip_mask, _ = self._pad_pairs(p_aff, q_aff, skip_mask)
         fs = self.miller_loop(p_aff, q_aff)        # (B, 12, L)

@@ -90,7 +90,9 @@ class _CKF(_KF):
             t2 = jnp.concatenate([u[1:], z1], axis=0) + hi \
                 + jnp.concatenate([carry, jnp.zeros((L - 1, TB),
                                                     jnp.uint32)], axis=0)
-            return (t2, pltpu.roll(ar, L - 1, axis=0))   # == roll by -1
+            # rotate a's digit rows by -1 (concat form: pltpu.roll trips a
+            # Mosaic ApplyVectorLayout check at TB >= 256)
+            return (t2, jnp.concatenate([ar[1:], ar[:1]], axis=0))
 
         t0 = jnp.zeros((L, TB), jnp.uint32)
         a_full = jnp.broadcast_to(a, (L, TB))
@@ -567,16 +569,24 @@ class PallasPairing:
 
     # -- kernel plumbing ---------------------------------------------------
 
-    def _kf(self, c_ref):
-        return _CKF(self.L, self._p_limbs, self._m0,
-                    c_ref[0, :, :1], c_ref[1, :, :1])
+    @staticmethod
+    def _wide(row, TB):
+        """(L, 128) const row -> dense (L, TB). (L, 1)-shaped constants
+        broadcast over >128 lanes trip a Mosaic ApplyVectorLayout check
+        ("limits[i] <= dim(i)"), so constants are kept lane-dense."""
+        k = TB // 128
+        return row if k == 1 else jnp.concatenate([row] * k, axis=1)
 
-    def _gam(self, c_ref, power):
+    def _kf(self, c_ref, TB):
+        return _CKF(self.L, self._p_limbs, self._m0,
+                    self._wide(c_ref[0], TB), self._wide(c_ref[1], TB))
+
+    def _gam(self, c_ref, power, TB):
         base = 2 if power == 1 else 14
         gs = [None]                                    # gamma[0] == 1
         for k in range(1, 6):
-            gs.append((c_ref[base + 2 * k, :, :1],
-                       c_ref[base + 2 * k + 1, :, :1]))
+            gs.append((self._wide(c_ref[base + 2 * k], TB),
+                       self._wide(c_ref[base + 2 * k + 1], TB)))
         return (gs, power % 2 == 1)
 
     def _miller_fn(self, Bp, TB):
@@ -587,8 +597,8 @@ class PallasPairing:
         nmb = self._mbits.shape[1]
 
         def kern(mb_ref, xp, yp, xq0, xq1, yq0, yq1, c_ref, o_ref):
-            kf = self._kf(c_ref)
-            one = jnp.broadcast_to(kf.one_col, (L, TB))
+            kf = self._kf(c_ref, TB)
+            one = kf.one_col
             four = kf.add(kf.add(one, one), kf.add(one, one))
             b2 = (four, four)
             xP = xp[:, :]
@@ -647,12 +657,12 @@ class PallasPairing:
         NS = self._prog.shape[0]
 
         def kern(fb_ref, pg_ref, f_ref, c_ref, o_ref, regs):
-            kf = self._kf(c_ref)
+            kf = self._kf(c_ref, TB)
             f = _unflat12([f_ref[k] for k in range(12)])
             # easy part: f^((p^6-1)(p^2+1))
             finv = _f12inv(kf, f, fb_ref, nb)
             g = f12mul(kf, f12conj(kf, f), finv)
-            g = f12mul(kf, f12frob(kf, g, self._gam(c_ref, 2)), g)
+            g = f12mul(kf, f12frob(kf, g, self._gam(c_ref, 2, TB)), g)
             rows = _flat12(g)
             for k in range(12):
                 regs[RG_F, k] = rows[k]
@@ -684,11 +694,11 @@ class PallasPairing:
 
                 @pl.when(op == OP_FROB1)
                 def _():
-                    store(f12frob(kf, A, self._gam(c_ref, 1)))
+                    store(f12frob(kf, A, self._gam(c_ref, 1, TB)))
 
                 @pl.when(op == OP_FROB2)
                 def _():
-                    store(f12frob(kf, A, self._gam(c_ref, 2)))
+                    store(f12frob(kf, A, self._gam(c_ref, 2, TB)))
 
                 @pl.when(op == OP_COPY)
                 def _():

@@ -33,17 +33,38 @@ import jax.numpy as jnp
 
 
 def _ladder_const(group, P, k: int):
-    """[k]P for a host-known k >= 0, batched double-and-add (MSB first)."""
+    """[k]P for a host-known k >= 0, batched double-and-add (MSB first).
+
+    Long ladders run as a lax.scan over the bit array: the unrolled form
+    compiled ~2 complete group ops PER BIT into the XLA program (~128
+    point ops ~ hundreds of kHLO for the 127-bit G1 check) — the single
+    biggest compile-time term in the fused verify program and the
+    decompress tests. The scalar is PUBLIC (a curve constant), so the
+    masked-add scan leaks nothing new."""
     if k == 0:
         batch = P[0].shape[:-1] if not hasattr(group.F, "deg") \
             else P[0].shape[:-2]
         return group.infinity(batch)
     bits = bin(k)[3:]                      # skip the leading 1
-    acc = P
-    for b in bits:
+    if len(bits) <= 8:
+        acc = P
+        for b in bits:
+            acc = group.double(acc)
+            if b == "1":
+                acc = group.add(acc, P)
+        return acc
+    bit_arr = jnp.asarray(np.array([int(b) for b in bits], np.int32))
+    batch = P[0].shape[:-1] if not hasattr(group.F, "deg") \
+        else P[0].shape[:-2]
+
+    def body(acc, bit):
         acc = group.double(acc)
-        if b == "1":
-            acc = group.add(acc, P)
+        added = group.add(acc, P)
+        take = (bit == 1) & jnp.ones(batch, bool)
+        return group.select(take, added, acc), None
+
+    # bits already excludes the implicit leading 1 (acc starts at [1]P)
+    acc, _ = jax.lax.scan(body, P, bit_arr)
     return acc
 
 

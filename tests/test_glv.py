@@ -67,3 +67,53 @@ def test_msm_glv_matches_naive_sum():
         exp = rm.ec_add(exp, rm.ec_mul(k, pt, 0, ctx.p), 0, ctx.p)
     assert ctx.fp.decode(gx)[0] == exp[0]
     assert ctx.fp.decode(gy)[0] == exp[1]
+
+
+# ---------------------------------------------------------------------------
+# GLS-4 (G2) — split_scalars.nim:95-125 m=4 analogue
+# ---------------------------------------------------------------------------
+
+
+def test_gls4_decompose_device_vs_host():
+    from constantine_tpu.ops.glv import get_gls4
+    ctx = get_curve("BLS12_381")
+    gls = get_gls4("BLS12_381")
+    rng = np.random.default_rng(11)
+    ks = [int.from_bytes(rng.bytes(32), "big") % ctx.r for _ in range(16)]
+    ks += [0, 1, ctx.r - 1, gls.lam]
+    kl = jnp.asarray(ctx.scalars_to_limbs(ks))
+    parts = gls.decompose(kl)
+    for i, k in enumerate(ks):
+        hs = gls._decompose_host(k)
+        acc = 0
+        for j in range(4):
+            kj, neg = parts[j]
+            d = lb.limbs_to_int(np.asarray(kj[i]))
+            d = -d if bool(neg[i]) else d
+            assert d == hs[j], (i, j, d, hs[j])
+            acc += d * pow(gls.lam, j, ctx.r)
+        assert (acc - k) % ctx.r == 0
+
+
+def test_gls4_scalar_mul_g2():
+    from constantine_tpu.ops.glv import scalar_mul_gls4_g2
+    ctx = get_curve("BLS12_381")
+    from constantine_tpu.ops.towers import build_tower
+    fp2 = build_tower("BLS12_381")[0]
+    nr = ctx.params.fp2_nonresidue
+    rng = np.random.default_rng(5)
+    ks = [int(k) for k in rng.integers(2, 2**60, size=4)]
+    pts = [rm.ec2_mul(k, ctx.g2_aff, (0, 0), nr, ctx.p) for k in ks]
+    qx = jnp.asarray(np.stack([fp2.encode(list(q[0])) for q in pts]))
+    qy = jnp.asarray(np.stack([fp2.encode(list(q[1])) for q in pts]))
+    scalars = [int.from_bytes(rng.bytes(32), "big") % ctx.r
+               for _ in range(3)] + [1]
+    sl = jnp.asarray(ctx.scalars_to_limbs(scalars))
+    got = scalar_mul_gls4_g2(ctx, sl, (qx, qy))
+    (gx, gy), inf = ctx.g2.to_affine(got)
+    for i in range(4):
+        want = rm.ec2_mul(scalars[i], pts[i], (0, 0), nr, ctx.p)
+        gxi = fp2.decode(np.asarray(gx[i]))
+        gyi = fp2.decode(np.asarray(gy[i]))
+        assert tuple(gxi) == tuple(want[0]), i
+        assert tuple(gyi) == tuple(want[1]), i

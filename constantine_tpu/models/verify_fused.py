@@ -117,6 +117,8 @@ class FusedVerifier:
         self.fp = ctx.fp
         self.fr = kzg.fr
         self.pp = get_pallas_pairing()
+        from ..ops.pallas_g1 import get_pallas_g1
+        self.pg1 = get_pallas_g1()    # built eagerly: init encodes consts
         self._sq = get_sqrt_fp("BLS12_381")
         self.b_mont = self.fp.encode([4])[0]
         # fixed-base tables: G1 generator, G2 generator
@@ -135,20 +137,11 @@ class FusedVerifier:
     def _decompress_g1(self, x_canon, sign_big, inf_mask):
         """Device half of codec.g1_decompress: (N, L) canonical x +
         sign/inf masks -> (Montgomery affine, valid). Subgroup check
-        included (non-inf lanes)."""
-        fp = self.fp
-        xm = fp.to_mont(x_canon)
-        rhs = fp.add(fp.mul(fp.square(xm), xm),
-                     jnp.broadcast_to(jnp.asarray(self.b_mont), xm.shape))
-        y, ok = self._sq.sqrt(rhs)
-        y_canon = fp.from_mont(y)
-        half = jnp.asarray(lb.int_to_limbs((fp.p_int + 1) // 2, fp.L))
-        is_big = lb.geq(y_canon, half)
-        flip = is_big != sign_big
-        y = fp.cselect(flip, fp.neg(y), y)
-        in_sub = is_in_subgroup_g1(self.ctx,
-                                   self.ctx.g1.from_affine((xm, y)))
-        valid = jnp.where(inf_mask, True, ok & in_sub)
+        included (non-inf lanes). Runs as ONE Pallas program
+        (ops/pallas_g1.py) — the XLA sqrt/ladder form measured 686 ms per
+        point on the chip (launch-overhead-dominated scan loops)."""
+        (xm, y), ok = self.pg1.decompress(x_canon, sign_big)
+        valid = jnp.where(inf_mask, True, ok)
         return (xm, y), valid
 
     def _verify_core(self, C_mont, cinf, P_mont, pinf, z_l, y_l):

@@ -187,3 +187,189 @@ func EVMModexp(out []byte, calldata []byte) error {
 	}
 	return nil
 }
+
+// ---------------------------------------------------------------------
+// EVM precompiles — full EIP-196/197/2537 surface
+// (constantine-go/constantine.go EVM section parity)
+// ---------------------------------------------------------------------
+
+func evmCall(fn func(*C.uchar, *C.uchar, C.size_t) C.int, outLen int,
+	input []byte) ([]byte, error) {
+	out := make([]byte, outLen)
+	var in *C.uchar
+	if len(input) > 0 {
+		in = (*C.uchar)(unsafe.Pointer(&input[0]))
+	}
+	if fn((*C.uchar)(unsafe.Pointer(&out[0])), in, C.size_t(len(input))) != 0 {
+		return nil, ErrInvalidInput
+	}
+	return out, nil
+}
+
+func EVMSha256(input []byte) ([]byte, error) {
+	return evmCall(func(o, i *C.uchar, l C.size_t) C.int {
+		return C.ctt_eth_evm_sha256(o, i, l)
+	}, 32, input)
+}
+
+func EVMRipemd160(input []byte) ([]byte, error) {
+	return evmCall(func(o, i *C.uchar, l C.size_t) C.int {
+		return C.ctt_eth_evm_ripemd160(o, i, l)
+	}, 32, input)
+}
+
+func EVMBn254G1Add(input []byte) ([]byte, error) {
+	return evmCall(func(o, i *C.uchar, l C.size_t) C.int {
+		return C.ctt_eth_evm_bn254_g1add(o, i, l)
+	}, 64, input)
+}
+
+func EVMBn254G1Mul(input []byte) ([]byte, error) {
+	return evmCall(func(o, i *C.uchar, l C.size_t) C.int {
+		return C.ctt_eth_evm_bn254_g1mul(o, i, l)
+	}, 64, input)
+}
+
+func EVMBn254EcPairingCheck(input []byte) ([]byte, error) {
+	return evmCall(func(o, i *C.uchar, l C.size_t) C.int {
+		return C.ctt_eth_evm_bn254_ecpairingcheck(o, i, l)
+	}, 32, input)
+}
+
+func EVMBls12381G1Add(input []byte) ([]byte, error) {
+	return evmCall(func(o, i *C.uchar, l C.size_t) C.int {
+		return C.ctt_eth_evm_bls12381_g1add(o, i, l)
+	}, 128, input)
+}
+
+func EVMBls12381G1Msm(input []byte) ([]byte, error) {
+	return evmCall(func(o, i *C.uchar, l C.size_t) C.int {
+		return C.ctt_eth_evm_bls12381_g1msm(o, i, l)
+	}, 128, input)
+}
+
+func EVMBls12381G2Add(input []byte) ([]byte, error) {
+	return evmCall(func(o, i *C.uchar, l C.size_t) C.int {
+		return C.ctt_eth_evm_bls12381_g2add(o, i, l)
+	}, 256, input)
+}
+
+func EVMBls12381G2Msm(input []byte) ([]byte, error) {
+	return evmCall(func(o, i *C.uchar, l C.size_t) C.int {
+		return C.ctt_eth_evm_bls12381_g2msm(o, i, l)
+	}, 256, input)
+}
+
+func EVMBls12381PairingCheck(input []byte) ([]byte, error) {
+	return evmCall(func(o, i *C.uchar, l C.size_t) C.int {
+		return C.ctt_eth_evm_bls12381_pairingcheck(o, i, l)
+	}, 32, input)
+}
+
+func EVMBls12381MapFpToG1(input []byte) ([]byte, error) {
+	return evmCall(func(o, i *C.uchar, l C.size_t) C.int {
+		return C.ctt_eth_evm_bls12381_map_fp_to_g1(o, i, l)
+	}, 128, input)
+}
+
+func EVMBls12381MapFp2ToG2(input []byte) ([]byte, error) {
+	return evmCall(func(o, i *C.uchar, l C.size_t) C.int {
+		return C.ctt_eth_evm_bls12381_map_fp2_to_g2(o, i, l)
+	}, 256, input)
+}
+
+// ---------------------------------------------------------------------
+// EIP-7594 PeerDAS (constantine-go PeerDAS section parity)
+// ---------------------------------------------------------------------
+
+const (
+	BytesPerCell     = 2048
+	CellsPerExtBlob  = 128
+)
+
+// ComputeCellsAndKZGProofs: blob -> 128 cells + 128 proofs.
+func (ctx *EthKzgContext) ComputeCellsAndKZGProofs(blob []byte) ([][]byte, [][]byte, error) {
+	if len(blob) != BytesPerBlob {
+		return nil, nil, ErrInvalidInput
+	}
+	cells := make([]byte, CellsPerExtBlob*BytesPerCell)
+	proofs := make([]byte, CellsPerExtBlob*48)
+	st := C.ctt_eth_peerdas_compute_cells_and_kzg_proofs(
+		ctx.ctx,
+		(*C.ctt_eth_kzg_cell)(unsafe.Pointer(&cells[0])),
+		(*C.ctt_eth_kzg_proof)(unsafe.Pointer(&proofs[0])),
+		(*C.ctt_eth_kzg_blob)(unsafe.Pointer(&blob[0])))
+	if err := kzgStatus(st); err != nil {
+		return nil, nil, err
+	}
+	return splitN(cells, BytesPerCell), splitN(proofs, 48), nil
+}
+
+// RecoverCellsAndKZGProofs: >= 64 known (index, cell) pairs -> all 128.
+func (ctx *EthKzgContext) RecoverCellsAndKZGProofs(cellIndices []uint64, cells [][]byte) ([][]byte, [][]byte, error) {
+	n := len(cellIndices)
+	if n == 0 || len(cells) != n {
+		return nil, nil, ErrInvalidInput
+	}
+	flat := make([]byte, 0, n*BytesPerCell)
+	for _, c := range cells {
+		if len(c) != BytesPerCell {
+			return nil, nil, ErrInvalidInput
+		}
+		flat = append(flat, c...)
+	}
+	cellsOut := make([]byte, CellsPerExtBlob*BytesPerCell)
+	proofsOut := make([]byte, CellsPerExtBlob*48)
+	st := C.ctt_eth_peerdas_recover_cells_and_kzg_proofs(
+		ctx.ctx,
+		(*C.ctt_eth_kzg_cell)(unsafe.Pointer(&cellsOut[0])),
+		(*C.ctt_eth_kzg_proof)(unsafe.Pointer(&proofsOut[0])),
+		(*C.uint64_t)(unsafe.Pointer(&cellIndices[0])),
+		(*C.ctt_eth_kzg_cell)(unsafe.Pointer(&flat[0])),
+		C.size_t(n))
+	if err := kzgStatus(st); err != nil {
+		return nil, nil, err
+	}
+	return splitN(cellsOut, BytesPerCell), splitN(proofsOut, 48), nil
+}
+
+// VerifyCellKZGProofBatch: universal verification equation over n cells.
+func (ctx *EthKzgContext) VerifyCellKZGProofBatch(commitments [][]byte, cellIndices []uint64, cells [][]byte, proofs [][]byte) (bool, error) {
+	n := len(cellIndices)
+	if n == 0 || len(commitments) != n || len(cells) != n || len(proofs) != n {
+		return false, ErrInvalidInput
+	}
+	fc := make([]byte, 0, n*48)
+	fcl := make([]byte, 0, n*BytesPerCell)
+	fp := make([]byte, 0, n*48)
+	for i := 0; i < n; i++ {
+		if len(commitments[i]) != 48 || len(cells[i]) != BytesPerCell || len(proofs[i]) != 48 {
+			return false, ErrInvalidInput
+		}
+		fc = append(fc, commitments[i]...)
+		fcl = append(fcl, cells[i]...)
+		fp = append(fp, proofs[i]...)
+	}
+	st := C.ctt_eth_peerdas_verify_cell_kzg_proof_batch(
+		ctx.ctx,
+		(*C.ctt_eth_kzg_commitment)(unsafe.Pointer(&fc[0])),
+		(*C.uint64_t)(unsafe.Pointer(&cellIndices[0])),
+		(*C.ctt_eth_kzg_cell)(unsafe.Pointer(&fcl[0])),
+		(*C.ctt_eth_kzg_proof)(unsafe.Pointer(&fp[0])),
+		C.size_t(n))
+	if st == C.cttEthKzg_Success {
+		return true, nil
+	}
+	if st == C.cttEthKzg_VerificationFailure {
+		return false, nil
+	}
+	return false, ErrInvalidInput
+}
+
+func splitN(b []byte, sz int) [][]byte {
+	out := make([][]byte, 0, len(b)/sz)
+	for i := 0; i+sz <= len(b); i += sz {
+		out = append(out, b[i:i+sz])
+	}
+	return out
+}

@@ -66,6 +66,12 @@ pub struct ctt_eth_bls_signature {
 }
 
 #[repr(C)]
+#[derive(Clone, Copy)]
+pub struct ctt_eth_kzg_cell {
+    pub raw: [u8; 2048],
+}
+
+#[repr(C)]
 #[derive(Clone, Copy, PartialEq, Eq, Debug)]
 pub enum ctt_eth_bls_status {
     cttEthBls_Success = 0,
@@ -158,4 +164,50 @@ extern "C" {
         calldata: *const u8,
         calldata_len: usize,
     ) -> c_int;
+
+    // EVM precompiles (EIP-196/197/2537 surface)
+    pub fn ctt_eth_evm_sha256(out: *mut u8, input: *const u8, len: usize) -> c_int;
+    pub fn ctt_eth_evm_ripemd160(out: *mut u8, input: *const u8, len: usize) -> c_int;
+    pub fn ctt_eth_evm_bn254_g1add(out: *mut u8, input: *const u8, len: usize) -> c_int;
+    pub fn ctt_eth_evm_bn254_g1mul(out: *mut u8, input: *const u8, len: usize) -> c_int;
+    pub fn ctt_eth_evm_bn254_ecpairingcheck(out: *mut u8, input: *const u8, len: usize) -> c_int;
+    pub fn ctt_eth_evm_bls12381_g1add(out: *mut u8, input: *const u8, len: usize) -> c_int;
+    pub fn ctt_eth_evm_bls12381_g1msm(out: *mut u8, input: *const u8, len: usize) -> c_int;
+    pub fn ctt_eth_evm_bls12381_g2add(out: *mut u8, input: *const u8, len: usize) -> c_int;
+    pub fn ctt_eth_evm_bls12381_g2msm(out: *mut u8, input: *const u8, len: usize) -> c_int;
+    pub fn ctt_eth_evm_bls12381_pairingcheck(out: *mut u8, input: *const u8, len: usize) -> c_int;
+    pub fn ctt_eth_evm_bls12381_map_fp_to_g1(out: *mut u8, input: *const u8, len: usize) -> c_int;
+    pub fn ctt_eth_evm_bls12381_map_fp2_to_g2(out: *mut u8, input: *const u8, len: usize) -> c_int;
+
+    // low-level acceleration (halo2-zal MsmAccel engine)
+    pub fn ctt_bls12381_g1_msm(
+        out: *mut u8,
+        points: *const u8,
+        scalars: *const u8,
+        n: usize,
+    ) -> c_int;
+
+    // EIP-7594 PeerDAS
+    pub fn ctt_eth_peerdas_compute_cells_and_kzg_proofs(
+        ctx: *const ctt_eth_kzg_context,
+        cells: *mut ctt_eth_kzg_cell,
+        proofs: *mut ctt_eth_kzg_proof,
+        blob: *const ctt_eth_kzg_blob,
+    ) -> ctt_eth_kzg_status;
+    pub fn ctt_eth_peerdas_recover_cells_and_kzg_proofs(
+        ctx: *const ctt_eth_kzg_context,
+        cells_out: *mut ctt_eth_kzg_cell,
+        proofs_out: *mut ctt_eth_kzg_proof,
+        cell_indices: *const u64,
+        cells: *const ctt_eth_kzg_cell,
+        n: usize,
+    ) -> ctt_eth_kzg_status;
+    pub fn ctt_eth_peerdas_verify_cell_kzg_proof_batch(
+        ctx: *const ctt_eth_kzg_context,
+        commitments: *const ctt_eth_kzg_commitment,
+        cell_indices: *const u64,
+        cells: *const ctt_eth_kzg_cell,
+        proofs: *const ctt_eth_kzg_proof,
+        n: usize,
+    ) -> ctt_eth_kzg_status;
 }

@@ -88,3 +88,95 @@ def hash_to_g2_compressed(message: bytes, dst: bytes) -> bytes:
 def eth_evm_modexp(calldata: bytes):
     from .models.evm_precompiles import eth_evm_modexp as f
     return f(calldata)
+
+
+# -- EVM precompiles (full EIP-2537/196/197/198 surface) ----------------------
+
+
+def eth_evm_precompile(name: str, calldata: bytes):
+    """Generic dispatcher: name is the suffix of models.evm_precompiles'
+    eth_evm_<name> entry points (sha256, ripemd160, modexp, bn254_g1add,
+    bn254_g1mul, bn254_ecpairingcheck, bls12381_{g1add,g1msm,g2add,g2msm,
+    pairingcheck,map_fp_to_g1,map_fp2_to_g2}). Returns bytes or None."""
+    from .models import evm_precompiles as evm
+    fn = getattr(evm, "eth_evm_" + name, None)
+    if fn is None:
+        return None
+    return fn(calldata)
+
+
+# -- PeerDAS (EIP-7594) -------------------------------------------------------
+
+
+def peerdas_compute_cells_and_kzg_proofs(blob: bytes):
+    """-> (cells concat 128*2048B, proofs concat 128*48B) or None."""
+    from .models.peerdas import get_peerdas
+    out = get_peerdas().compute_cells_and_kzg_proofs(blob)
+    if out is None:
+        return None
+    cells, proofs = out
+    return b"".join(cells), b"".join(proofs)
+
+
+def peerdas_recover_cells_and_kzg_proofs(cell_indices, cells):
+    """cell_indices: list[int]; cells: list of 2048B. Same packing out."""
+    from .models.peerdas import get_peerdas
+    out = get_peerdas().recover_cells_and_kzg_proofs(
+        list(cell_indices), list(cells))
+    if out is None:
+        return None
+    cells_o, proofs = out
+    return b"".join(cells_o), b"".join(proofs)
+
+
+def peerdas_verify_cell_kzg_proof_batch(commitments, cell_indices, cells,
+                                        proofs):
+    from .models.peerdas import get_peerdas
+    return get_peerdas().verify_cell_kzg_proof_batch(
+        list(commitments), list(cell_indices), list(cells), list(proofs))
+
+
+# -- low-level accel surface (halo2-zal MsmAccel analogue) --------------------
+
+
+def bls12381_g1_msm_uncompressed(points: bytes, scalars: bytes):
+    """n 96-byte BE uncompressed G1 points (x||y, all-zero = infinity) +
+    n 32-byte BE scalars -> 96-byte uncompressed sum, or None on invalid
+    input. The C symbol ctt_bls12381_g1_msm binds here — the
+    constantine-halo2-zal MsmAccel engine's compute kernel
+    (constantine-rust/constantine-halo2-zal/src/lib.rs analogue)."""
+    import jax.numpy as jnp
+    from .named.precompute import get_curve
+    from .ops import limbs as lb
+    from .ops.msm import msm
+
+    if len(points) % 96 or len(scalars) % 32:
+        return None
+    n = len(points) // 96
+    if n == 0 or len(scalars) != n * 32:
+        return None
+    ctx = get_curve("BLS12_381")
+    F = ctx.fp
+    arr = np.frombuffer(points, np.uint8).reshape(n, 2, 48)
+    xs = lb.bytes_be_to_limbs(arr[:, 0].tobytes(), 48, F.L)
+    ys = lb.bytes_be_to_limbs(arr[:, 1].tobytes(), 48, F.L)
+    inf = (arr == 0).all(axis=(1, 2))
+    xm = F.to_mont(jnp.asarray(xs))
+    ym = F.to_mont(jnp.asarray(ys))
+    # on-curve check (vartime, public inputs)
+    P = ctx.g1.from_affine((xm, ym), inf_mask=jnp.asarray(inf))
+    if not bool(np.asarray(ctx.g1.is_on_curve(P)).all()):
+        return None
+    sl, valid = np.asarray(lb.bytes_be_to_limbs(scalars, 32, ctx.fr.L)), True
+    # scalars reduced mod r (halo2 passes field elements already < r)
+    ints = [int.from_bytes(scalars[i * 32:(i + 1) * 32], "big") % ctx.r
+            for i in range(n)]
+    sl = np.asarray(ctx.scalars_to_limbs(ints))
+    sl[np.asarray(inf)] = 0
+    R = msm(ctx.g1, (xm, ym), jnp.asarray(sl), scalar_bits=255)
+    (ax, ay), rinf = ctx.g1.to_affine(tuple(t[None] for t in R))
+    if bool(np.asarray(rinf)[0]):
+        return b"\x00" * 96
+    xc = np.asarray(F.from_mont(ax))
+    yc = np.asarray(F.from_mont(ay))
+    return (lb.limbs_to_bytes_be(xc, 48) + lb.limbs_to_bytes_be(yc, 48))

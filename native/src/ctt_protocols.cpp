@@ -306,4 +306,158 @@ int ctt_eth_evm_modexp(byte* out, size_t out_len, const byte* calldata,
   return 0;
 }
 
+
+// ---------------------------------------------------------------------
+// EVM precompiles — fixed-size byte-in/byte-out via capi.eth_evm_precompile
+// ---------------------------------------------------------------------
+
+static int evm_call(const char* name, byte* out, size_t out_len,
+                    const byte* in, size_t len) {
+  ensure_python();
+  Gil gil;
+  PyObject* f = get_attr("constantine_tpu.capi", "eth_evm_precompile");
+  if (!f) return 1;
+  PyObject* res = PyObject_CallFunction(
+      f, "sy#", name, reinterpret_cast<const char*>(in), (Py_ssize_t)len);
+  Py_DECREF(f);
+  if (!res) { PyErr_Print(); return 1; }
+  if (res == Py_None) { Py_DECREF(res); return 1; }
+  char* b; Py_ssize_t l;
+  if (PyBytes_AsStringAndSize(res, &b, &l) || (size_t)l != out_len) {
+    Py_XDECREF(res); return 1;
+  }
+  std::memcpy(out, b, out_len);
+  Py_DECREF(res);
+  return 0;
+}
+
+#define CTT_EVM(name, sz) \
+  int ctt_eth_evm_##name(byte out[sz], const byte* in, size_t len) { \
+    return evm_call(#name, out, sz, in, len); \
+  }
+
+CTT_EVM(sha256, 32)
+CTT_EVM(ripemd160, 32)
+CTT_EVM(bn254_g1add, 64)
+CTT_EVM(bn254_g1mul, 64)
+CTT_EVM(bn254_ecpairingcheck, 32)
+CTT_EVM(bls12381_g1add, 128)
+CTT_EVM(bls12381_g1msm, 128)
+CTT_EVM(bls12381_g2add, 256)
+CTT_EVM(bls12381_g2msm, 256)
+CTT_EVM(bls12381_pairingcheck, 32)
+CTT_EVM(bls12381_map_fp_to_g1, 128)
+CTT_EVM(bls12381_map_fp2_to_g2, 256)
+
+int ctt_bls12381_g1_msm(byte out[96], const byte* points,
+                        const byte* scalars, size_t n) {
+  ensure_python();
+  Gil gil;
+  PyObject* res = call_bytes("constantine_tpu.capi",
+                             "bls12381_g1_msm_uncompressed",
+                             {{points, n * 96}, {scalars, n * 32}});
+  if (!res) return 1;
+  if (res == Py_None) { Py_DECREF(res); return 1; }
+  char* b; Py_ssize_t l;
+  if (PyBytes_AsStringAndSize(res, &b, &l) || l != 96) {
+    Py_XDECREF(res); return 1;
+  }
+  std::memcpy(out, b, 96);
+  Py_DECREF(res);
+  return 0;
+}
+
+// ---------------------------------------------------------------------
+// PeerDAS (EIP-7594)
+// ---------------------------------------------------------------------
+
+static ctt_eth_kzg_status peerdas_two_out(PyObject* res,
+                                          ctt_eth_kzg_cell* cells,
+                                          ctt_eth_kzg_proof* proofs) {
+  if (!res) return cttEthKzg_RuntimeError;
+  if (res == Py_None) { Py_DECREF(res); return cttEthKzg_EccInvalidEncoding; }
+  if (!PyTuple_Check(res) || PyTuple_GET_SIZE(res) != 2) {
+    Py_DECREF(res); return cttEthKzg_RuntimeError;
+  }
+  char* b; Py_ssize_t l;
+  PyObject* p0 = PyTuple_GET_ITEM(res, 0);
+  PyObject* p1 = PyTuple_GET_ITEM(res, 1);
+  if (PyBytes_AsStringAndSize(p0, &b, &l) || l != 128 * 2048) {
+    Py_DECREF(res); return cttEthKzg_RuntimeError;
+  }
+  std::memcpy(cells, b, 128 * 2048);
+  if (PyBytes_AsStringAndSize(p1, &b, &l) || l != 128 * 48) {
+    Py_DECREF(res); return cttEthKzg_RuntimeError;
+  }
+  std::memcpy(proofs, b, 128 * 48);
+  Py_DECREF(res);
+  return cttEthKzg_Success;
+}
+
+ctt_eth_kzg_status ctt_eth_peerdas_compute_cells_and_kzg_proofs(
+    const ctt_eth_kzg_context*, ctt_eth_kzg_cell* cells,
+    ctt_eth_kzg_proof* proofs, const ctt_eth_kzg_blob* blob) {
+  ensure_python();
+  Gil gil;
+  PyObject* res = call_bytes("constantine_tpu.capi",
+                             "peerdas_compute_cells_and_kzg_proofs",
+                             {{blob->raw, sizeof(blob->raw)}});
+  return peerdas_two_out(res, cells, proofs);
+}
+
+ctt_eth_kzg_status ctt_eth_peerdas_recover_cells_and_kzg_proofs(
+    const ctt_eth_kzg_context*, ctt_eth_kzg_cell* cells_out,
+    ctt_eth_kzg_proof* proofs_out, const uint64_t* cell_indices,
+    const ctt_eth_kzg_cell* cells, size_t n) {
+  ensure_python();
+  Gil gil;
+  PyObject* f = get_attr("constantine_tpu.capi",
+                         "peerdas_recover_cells_and_kzg_proofs");
+  if (!f) return cttEthKzg_RuntimeError;
+  PyObject* li = PyList_New((Py_ssize_t)n);
+  PyObject* lc = PyList_New((Py_ssize_t)n);
+  for (size_t i = 0; i < n; i++) {
+    PyList_SET_ITEM(li, (Py_ssize_t)i,
+                    PyLong_FromUnsignedLongLong(cell_indices[i]));
+    PyList_SET_ITEM(lc, (Py_ssize_t)i, PyBytes_FromStringAndSize(
+        reinterpret_cast<const char*>(cells[i].raw), 2048));
+  }
+  PyObject* res = PyObject_CallFunctionObjArgs(f, li, lc, nullptr);
+  Py_DECREF(li); Py_DECREF(lc); Py_DECREF(f);
+  if (!res) PyErr_Print();
+  return peerdas_two_out(res, cells_out, proofs_out);
+}
+
+ctt_eth_kzg_status ctt_eth_peerdas_verify_cell_kzg_proof_batch(
+    const ctt_eth_kzg_context*, const ctt_eth_kzg_commitment* commitments,
+    const uint64_t* cell_indices, const ctt_eth_kzg_cell* cells,
+    const ctt_eth_kzg_proof* proofs, size_t n) {
+  ensure_python();
+  Gil gil;
+  PyObject* f = get_attr("constantine_tpu.capi",
+                         "peerdas_verify_cell_kzg_proof_batch");
+  if (!f) return cttEthKzg_RuntimeError;
+  PyObject* lcm = PyList_New((Py_ssize_t)n);
+  PyObject* li = PyList_New((Py_ssize_t)n);
+  PyObject* lc = PyList_New((Py_ssize_t)n);
+  PyObject* lp = PyList_New((Py_ssize_t)n);
+  for (size_t i = 0; i < n; i++) {
+    PyList_SET_ITEM(lcm, (Py_ssize_t)i, PyBytes_FromStringAndSize(
+        reinterpret_cast<const char*>(commitments[i].raw), 48));
+    PyList_SET_ITEM(li, (Py_ssize_t)i,
+                    PyLong_FromUnsignedLongLong(cell_indices[i]));
+    PyList_SET_ITEM(lc, (Py_ssize_t)i, PyBytes_FromStringAndSize(
+        reinterpret_cast<const char*>(cells[i].raw), 2048));
+    PyList_SET_ITEM(lp, (Py_ssize_t)i, PyBytes_FromStringAndSize(
+        reinterpret_cast<const char*>(proofs[i].raw), 48));
+  }
+  PyObject* res = PyObject_CallFunctionObjArgs(f, lcm, li, lc, lp, nullptr);
+  Py_DECREF(lcm); Py_DECREF(li); Py_DECREF(lc); Py_DECREF(lp); Py_DECREF(f);
+  if (!res) { PyErr_Print(); return cttEthKzg_RuntimeError; }
+  if (res == Py_None) { Py_DECREF(res); return cttEthKzg_EccInvalidEncoding; }
+  int truth = PyObject_IsTrue(res);
+  Py_DECREF(res);
+  return truth == 1 ? cttEthKzg_Success : cttEthKzg_VerificationFailure;
+}
+
 }  // extern "C"

@@ -171,10 +171,15 @@ class FusedVerifier:
 
     def _verify_kernel(self, cx, csign, cinf, px, psign, pinf,
                        z_canon, y_canon):
-        C, cok = self._decompress_g1(cx, csign, cinf)
-        Pr, pok = self._decompress_g1(px, psign, pinf)
-        ok = self._verify_core(C, cinf, Pr, pinf, z_canon, y_canon)
-        return jnp.stack([ok, cok[0], pok[0]])
+        # ONE decompress kernel invocation for both points
+        (xm, ym), ok = self.pg1.decompress(
+            jnp.concatenate([cx, px]), jnp.concatenate([csign, psign]))
+        C = (xm[:1], ym[:1])
+        Pr = (xm[1:], ym[1:])
+        cok = jnp.where(cinf, True, ok[:1])
+        pok = jnp.where(pinf, True, ok[1:])
+        ok2 = self._verify_core(C, cinf, Pr, pinf, z_canon, y_canon)
+        return jnp.stack([ok2, cok[0], pok[0]])
 
     def _verify_blob_kernel(self, evals_canon, z_canon, cx, csign, cinf,
                             px, psign, pinf):
@@ -184,11 +189,15 @@ class FusedVerifier:
         z_mont = fr.to_mont(z_canon)
         evals_mont = fr.to_mont(evals_canon)
         y, _, _ = self.kzg.eval_at(evals_mont, z_mont)
-        C, cok = self._decompress_g1(cx, csign, cinf)
-        Pr, pok = self._decompress_g1(px, psign, pinf)
-        ok = self._verify_core(C, cinf, Pr, pinf, z_canon,
-                               fr.from_mont(y))
-        return jnp.stack([ok, cok[0], pok[0]])
+        (xm, ym), ok = self.pg1.decompress(
+            jnp.concatenate([cx, px]), jnp.concatenate([csign, psign]))
+        C = (xm[:1], ym[:1])
+        Pr = (xm[1:], ym[1:])
+        cok = jnp.where(cinf, True, ok[:1])
+        pok = jnp.where(pinf, True, ok[1:])
+        ok2 = self._verify_core(C, cinf, Pr, pinf, z_canon,
+                                fr.from_mont(y))
+        return jnp.stack([ok2, cok[0], pok[0]])
 
     def _verify_batch_kernel(self, evals_canon, zs_canon, cx, csign, cinf,
                              px, psign, pinf, r_powers_mont):
@@ -201,8 +210,13 @@ class FusedVerifier:
         zs_mont = fr.to_mont(zs_canon)
         evals_mont = fr.to_mont(evals_canon)
         ys, _, _ = jax.vmap(self.kzg.eval_at)(evals_mont, zs_mont)
-        (cxm, cym), cok = self._decompress_g1(cx, csign, cinf)
-        (pxm, pym), pok = self._decompress_g1(px, psign, pinf)
+        n_ = cx.shape[0]
+        (xall, yall), okall = self.pg1.decompress(
+            jnp.concatenate([cx, px]), jnp.concatenate([csign, psign]))
+        cxm, cym = xall[:n_], yall[:n_]
+        pxm, pym = xall[n_:], yall[n_:]
+        cok = jnp.where(cinf, True, okall[:n_])
+        pok = jnp.where(pinf, True, okall[n_:])
 
         r_l = fr.from_mont(r_powers_mont)
         rz_l = fr.from_mont(fr.mul(r_powers_mont, zs_mont))

@@ -158,6 +158,12 @@ def _keccak_f(st):
 def keccak256(data: bytes) -> bytes:
     if _native is not None:
         return _native.keccak256(data)
+    return _keccak256_py(data)
+
+
+def _keccak256_py(data: bytes) -> bytes:
+    """Pure-python Keccak-256 (kept callable for differential tests even
+    when the native backend is loaded)."""
     rate = 136
     st = [[0] * 5 for _ in range(5)]
     # multi-rate padding pad10*1 (single 0x81 byte when padlen == 1)

@@ -34,8 +34,10 @@ def test_sha3_and_keccak():
         n = int(rng.integers(0, 500))
         data = bytes(rng.integers(0, 256, size=n, dtype=np.uint8))
         assert native.sha3_256(data) == hashlib.sha3_256(data).digest()
-        assert native.keccak256(data) == ph.keccak256.__wrapped__(data) \
-            if hasattr(ph.keccak256, "__wrapped__") else True
+        # differential vs the pure-python Keccak (utils/hashes.py) — the
+        # old `x == y if cond else True` form was a no-op when
+        # __wrapped__ was absent (it is: keccak256 is a plain function)
+        assert native.keccak256(data) == ph._keccak256_py(data)
     assert native.keccak256(b"") == bytes.fromhex(
         "c5d2460186f7233c927e7db2dcc703c0e500b653ca82273b7bfad8045d85a470")
     assert native.keccak256(b"abc") == bytes.fromhex(

@@ -65,12 +65,20 @@ class BLSSignatures:
             return None
         H = self.h2c.hash_to_g2(msgs, DST)
         limbs = jnp.asarray(ctx.scalars_to_limbs(secret_keys))
-        # GLS-4 endomorphism split: four ~67-bit ladders instead of one
-        # 255-bit (scalarMulEndo m=4, ec_scalar_mul.nim:267)
-        from ..ops.glv import scalar_mul_gls4_g2
-        (hx, hy), hinf = ctx.g2.to_affine(H)
-        S = scalar_mul_gls4_g2(ctx, limbs, (hx, hy))
-        S = ctx.g2.select(hinf, ctx.g2.infinity(hinf.shape), S)
+        import jax as _jax
+        import os as _os
+        if _jax.default_backend() != "cpu" \
+                or _os.environ.get("CTT_GLS4_SIGN") == "1":
+            # GLS-4 endomorphism split: four ~67-bit ladders instead of
+            # one 255-bit (scalarMulEndo m=4, ec_scalar_mul.nim:267).
+            # Accelerator-only: on the CPU test backend the extra program
+            # size aggravates the known XLA-CPU LLVM segfault.
+            from ..ops.glv import scalar_mul_gls4_g2
+            (hx, hy), hinf = ctx.g2.to_affine(H)
+            S = scalar_mul_gls4_g2(ctx, limbs, (hx, hy))
+            S = ctx.g2.select(hinf, ctx.g2.infinity(hinf.shape), S)
+        else:
+            S = ctx.g2.scalar_mul(limbs, H, scalar_bits=255)
         (x, y), inf = ctx.g2.to_affine(S)
         return self.codec.g2_compress((x, y), inf)
 

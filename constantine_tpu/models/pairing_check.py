@@ -52,10 +52,17 @@ def kzg_pairing_verify(kzg, C, proof, z_mont, y_mont) -> bool:
     Cj = ctx.g1.from_affine((cx, cy), inf_mask=jnp.asarray(cinf))
     lhs1 = ctx.g1.add(Cj, ctx.g1.neg(yG1))
 
-    # rhs G2 point: [z]G2 - [tau]G2 (GLS-4 split ladder)
+    # rhs G2 point: [z]G2 - [tau]G2 (GLS-4 split ladder on accelerators;
+    # the plain ladder on the CPU test backend keeps the XLA program at
+    # its r4-validated size)
     z_limbs = _scalar_mont_to_limbs(fr, z_mont)[None]
-    from ..ops.glv import scalar_mul_gls4_g2
-    zG2 = scalar_mul_gls4_g2(ctx, z_limbs, g2_gen)
+    import jax as _jax
+    if _jax.default_backend() != "cpu":
+        from ..ops.glv import scalar_mul_gls4_g2
+        zG2 = scalar_mul_gls4_g2(ctx, z_limbs, g2_gen)
+    else:
+        G2gen = ctx.g2.from_affine(g2_gen)
+        zG2 = ctx.g2.scalar_mul(z_limbs, G2gen, scalar_bits=255)
     tauG2 = ctx.g2.from_affine(g2_tau)
     rhs2 = ctx.g2.add(zG2, ctx.g2.neg(tauG2))
 

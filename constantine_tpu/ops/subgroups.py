@@ -46,7 +46,10 @@ def _ladder_const(group, P, k: int):
             else P[0].shape[:-2]
         return group.infinity(batch)
     bits = bin(k)[3:]                      # skip the leading 1
-    if len(bits) <= 8:
+    # the scan form segfaults the XLA-CPU LLVM backend on this box
+    # (reproduced in the Deneb verify vectors); CPU keeps the unrolled
+    # r4-validated lowering, accelerators get the compact scan
+    if len(bits) <= 8 or jax.default_backend() == "cpu":
         acc = P
         for b in bits:
             acc = group.double(acc)

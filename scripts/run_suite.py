@@ -16,10 +16,15 @@ results = []
 t_all = time.time()
 for f in FILES:
     t0 = time.time()
-    p = subprocess.run(
-        [sys.executable, "-m", "pytest", f"tests/{f}", "-q",
-         "-o", "addopts=", "-p", "no:cacheprovider"],
-        cwd=REPO, capture_output=True, text=True, timeout=TIMEOUT + 60)
+    try:
+        p = subprocess.run(
+            [sys.executable, "-m", "pytest", f"tests/{f}", "-q",
+             "-o", "addopts=", "-p", "no:cacheprovider"],
+            cwd=REPO, capture_output=True, text=True, timeout=TIMEOUT + 60)
+    except subprocess.TimeoutExpired:
+        results.append(f"TIMEOUT    {TIMEOUT:7d}s  {f}")
+        print(results[-1], flush=True)
+        continue
     dt = time.time() - t0
     tail = [ln for ln in p.stdout.strip().splitlines() if ln][-1] \
         if p.stdout.strip() else "(no output)"

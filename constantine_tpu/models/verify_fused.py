@@ -29,8 +29,6 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import limbs as lb
-from ..ops.subgroups import is_in_subgroup_g1
-from ..ops.sqrt import get_sqrt_fp
 from ..utils import refmath as rm
 
 
@@ -119,8 +117,6 @@ class FusedVerifier:
         self.pp = get_pallas_pairing()
         from ..ops.pallas_g1 import get_pallas_g1
         self.pg1 = get_pallas_g1()    # built eagerly: init encodes consts
-        self._sq = get_sqrt_fp("BLS12_381")
-        self.b_mont = self.fp.encode([4])[0]
         # fixed-base tables: G1 generator, G2 generator
         self.T1 = FixedBaseTable(ctx, ctx.g, g2=False)
         self.T2 = FixedBaseTable(ctx, ctx.g2_aff, g2=True)

@@ -180,3 +180,137 @@ def bls12381_g1_msm_uncompressed(points: bytes, scalars: bytes):
     xc = np.asarray(F.from_mont(ax))
     yc = np.asarray(F.from_mont(ay))
     return (lb.limbs_to_bytes_be(xc, 48) + lb.limbs_to_bytes_be(yc, 48))
+
+
+# -- low-level per-curve API (c_curve_decls.nim analogue) ---------------------
+#
+# Single-element field/EC ops for the C ABI. These run on HOST integers
+# (utils/refmath): a 2-element VPU launch would waste >99% of the machine
+# and pay a tunnel RTT per call — exactly the shape the reference's own C
+# API serves with scalar CPU code. The batched device paths (ops/, models/)
+# are the performance surface; this is the compatibility surface, and both
+# are differential-tested against each other in the suite.
+
+
+def _ll_ctx():
+    from .named.precompute import get_curve
+    return get_curve("BLS12_381")
+
+
+def _fp_int(b):
+    v = int.from_bytes(b, "big")
+    return v
+
+
+def bls12381_fp_op(op: str, a: bytes, b: bytes = None):
+    ctx = _ll_ctx()
+    p = ctx.p
+    x = _fp_int(a)
+    if x >= p:
+        return None
+    y = None
+    if b is not None:
+        y = _fp_int(b)
+        if y >= p:
+            return None
+    from .utils import refmath as rm
+    if op == "add":
+        r = (x + y) % p
+    elif op == "sub":
+        r = (x - y) % p
+    elif op == "mul":
+        r = (x * y) % p
+    elif op == "inv":
+        r = 0 if x == 0 else rm.inv_mod(x, p)
+    elif op == "sqrt":
+        r = rm.sqrt_mod(x, p)
+        if r is None:
+            return None
+    else:
+        return None
+    return r.to_bytes(48, "big")
+
+
+def bls12381_fr_op(op: str, a: bytes, b: bytes = None):
+    ctx = _ll_ctx()
+    r_mod = ctx.r
+    x = int.from_bytes(a, "big")
+    if x >= r_mod:
+        return None
+    y = None
+    if b is not None:
+        y = int.from_bytes(b, "big")
+        if y >= r_mod:
+            return None
+    from .utils import refmath as rm
+    if op == "add":
+        v = (x + y) % r_mod
+    elif op == "sub":
+        v = (x - y) % r_mod
+    elif op == "mul":
+        v = (x * y) % r_mod
+    elif op == "inv":
+        v = 0 if x == 0 else rm.inv_mod(x, r_mod)
+    else:
+        return None
+    return v.to_bytes(32, "big")
+
+
+def _g1_from_bytes(b):
+    if len(b) != 96:
+        return None
+    if all(c == 0 for c in b):
+        return "inf"
+    x = int.from_bytes(b[:48], "big")
+    y = int.from_bytes(b[48:], "big")
+    ctx = _ll_ctx()
+    if x >= ctx.p or y >= ctx.p:
+        return None
+    from .utils import refmath as rm
+    if not rm.ec_is_on_curve((x, y), 0, 4, ctx.p):
+        return None
+    return (x, y)
+
+
+def _g1_to_bytes(P):
+    if P is None or P == "inf":
+        return b"\x00" * 96
+    return P[0].to_bytes(48, "big") + P[1].to_bytes(48, "big")
+
+
+def bls12381_g1_op(op: str, a: bytes, b: bytes = None):
+    ctx = _ll_ctx()
+    from .utils import refmath as rm
+    P = _g1_from_bytes(a)
+    if P is None:
+        return None
+    if op == "add":
+        Q = _g1_from_bytes(b)
+        if Q is None:
+            return None
+        if P == "inf":
+            return _g1_to_bytes(Q)
+        if Q == "inf":
+            return _g1_to_bytes(P)
+        return _g1_to_bytes(rm.ec_add(P, Q, 0, ctx.p))  # None = infinity
+    if op == "neg":
+        if P == "inf":
+            return _g1_to_bytes(P)
+        return _g1_to_bytes(rm.ec_neg(P, ctx.p))
+    if op == "scalar_mul":
+        k = int.from_bytes(b, "big") % ctx.r
+        if P == "inf" or k == 0:
+            return b"\x00" * 96
+        return _g1_to_bytes(rm.ec_mul(k, P, 0, ctx.p))
+    return None
+
+
+def bls12381_g1_in_subgroup(a: bytes):
+    from .utils import refmath as rm
+    ctx = _ll_ctx()
+    P = _g1_from_bytes(a)
+    if P is None:
+        return None
+    if P == "inf":
+        return True
+    return rm.ec_mul(ctx.r, P, 0, ctx.p) is None

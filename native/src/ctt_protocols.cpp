@@ -13,6 +13,7 @@
 
 #include "../include/constantine_tpu_protocols.h"
 
+#define PY_SSIZE_T_CLEAN
 #include <Python.h>
 #include <cstring>
 #include <mutex>
@@ -363,6 +364,91 @@ int ctt_bls12381_g1_msm(byte out[96], const byte* points,
     Py_XDECREF(res); return 1;
   }
   std::memcpy(out, b, 96);
+  Py_DECREF(res);
+  return 0;
+}
+
+// ---------------------------------------------------------------------
+// Low-level per-curve ops (host-int implementations in capi)
+// ---------------------------------------------------------------------
+
+static int ll_call2(const char* pyfn, const char* op, byte* out,
+                    size_t outlen, const byte* a, size_t alen,
+                    const byte* b, size_t blen) {
+  ensure_python();
+  Gil gil;
+  PyObject* f = get_attr("constantine_tpu.capi", pyfn);
+  if (!f) return 1;
+  PyObject* res;
+  if (b)
+    res = PyObject_CallFunction(f, "sy#y#", op,
+        reinterpret_cast<const char*>(a), (Py_ssize_t)alen,
+        reinterpret_cast<const char*>(b), (Py_ssize_t)blen);
+  else
+    res = PyObject_CallFunction(f, "sy#", op,
+        reinterpret_cast<const char*>(a), (Py_ssize_t)alen);
+  Py_DECREF(f);
+  if (!res) { PyErr_Print(); return 1; }
+  if (res == Py_None) { Py_DECREF(res); return 1; }
+  char* buf; Py_ssize_t l;
+  if (PyBytes_AsStringAndSize(res, &buf, &l) || (size_t)l != outlen) {
+    Py_XDECREF(res); return 1;
+  }
+  std::memcpy(out, buf, outlen);
+  Py_DECREF(res);
+  return 0;
+}
+
+#define CTT_LL2(curve_fn, pyfn, op, sz) \
+  int curve_fn(byte out[sz], const byte a[sz], const byte b[sz]) { \
+    return ll_call2(pyfn, op, out, sz, a, sz, b, sz); \
+  }
+#define CTT_LL1(curve_fn, pyfn, op, sz) \
+  int curve_fn(byte out[sz], const byte a[sz]) { \
+    return ll_call2(pyfn, op, out, sz, a, sz, nullptr, 0); \
+  }
+
+CTT_LL2(ctt_bls12381_fp_add, "bls12381_fp_op", "add", 48)
+CTT_LL2(ctt_bls12381_fp_sub, "bls12381_fp_op", "sub", 48)
+CTT_LL2(ctt_bls12381_fp_mul, "bls12381_fp_op", "mul", 48)
+CTT_LL1(ctt_bls12381_fp_inv, "bls12381_fp_op", "inv", 48)
+CTT_LL1(ctt_bls12381_fp_sqrt, "bls12381_fp_op", "sqrt", 48)
+CTT_LL2(ctt_bls12381_fr_add, "bls12381_fr_op", "add", 32)
+CTT_LL2(ctt_bls12381_fr_sub, "bls12381_fr_op", "sub", 32)
+CTT_LL2(ctt_bls12381_fr_mul, "bls12381_fr_op", "mul", 32)
+CTT_LL1(ctt_bls12381_fr_inv, "bls12381_fr_op", "inv", 32)
+CTT_LL2(ctt_bls12381_g1_add, "bls12381_g1_op", "add", 96)
+CTT_LL1(ctt_bls12381_g1_neg, "bls12381_g1_op", "neg", 96)
+
+int ctt_bls12381_g1_scalar_mul(byte out[96], const byte p[96],
+                               const byte k[32]) {
+  ensure_python();
+  Gil gil;
+  PyObject* f = get_attr("constantine_tpu.capi", "bls12381_g1_op");
+  if (!f) return 1;
+  PyObject* res = PyObject_CallFunction(
+      f, "sy#y#", "scalar_mul", reinterpret_cast<const char*>(p),
+      (Py_ssize_t)96, reinterpret_cast<const char*>(k), (Py_ssize_t)32);
+  Py_DECREF(f);
+  if (!res) { PyErr_Print(); return 1; }
+  if (res == Py_None) { Py_DECREF(res); return 1; }
+  char* buf; Py_ssize_t l;
+  if (PyBytes_AsStringAndSize(res, &buf, &l) || l != 96) {
+    Py_XDECREF(res); return 1;
+  }
+  std::memcpy(out, buf, 96);
+  Py_DECREF(res);
+  return 0;
+}
+
+int ctt_bls12381_g1_in_subgroup(int* result, const byte a[96]) {
+  ensure_python();
+  Gil gil;
+  PyObject* res = call_bytes("constantine_tpu.capi",
+                             "bls12381_g1_in_subgroup", {{a, 96}});
+  if (!res) return 1;
+  if (res == Py_None) { Py_DECREF(res); return 1; }
+  *result = PyObject_IsTrue(res) == 1 ? 1 : 0;
   Py_DECREF(res);
   return 0;
 }

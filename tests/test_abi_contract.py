@@ -76,3 +76,38 @@ def test_rust_go_sources_bind_declared_symbols():
     refs = {r for r in refs if not r.endswith(("_struct", "_ctx"))}
     unknown = sorted(refs - declared)
     assert not unknown, f"bindings reference undeclared symbols: {unknown}"
+
+
+def test_lowlevel_c_roundtrip():
+    """Call the low-level C entry points end-to-end via ctypes. The shim
+    embeds CPython; inside pytest the interpreter already exists, so
+    ensure_python() attaches to it and the calls execute in-process."""
+    from constantine_tpu.named.precompute import get_curve
+    from constantine_tpu.utils import refmath as rm
+    lib = _load("libconstantine_tpu_protocols.so", needs_python=True)
+    ctx = get_curve("BLS12_381")
+
+    a, b = 123456789, 987654321
+    out = ctypes.create_string_buffer(48)
+    rc = lib.ctt_bls12381_fp_mul(out, a.to_bytes(48, "big"),
+                                 b.to_bytes(48, "big"))
+    assert rc == 0
+    assert int.from_bytes(out.raw, "big") == a * b % ctx.p
+
+    g = ctx.g
+    gb = g[0].to_bytes(48, "big") + g[1].to_bytes(48, "big")
+    out96 = ctypes.create_string_buffer(96)
+    assert lib.ctt_bls12381_g1_add(out96, gb, gb) == 0
+    twog = rm.ec_mul(2, g, 0, ctx.p)
+    assert out96.raw == twog[0].to_bytes(48, "big") + twog[1].to_bytes(48, "big")
+
+    res = ctypes.c_int(0)
+    assert lib.ctt_bls12381_g1_in_subgroup(ctypes.byref(res), gb) == 0
+    assert res.value == 1
+
+    # msm over 4 copies of G with scalars 1..4 == [10]G
+    pts = gb * 4
+    scalars = b"".join(k.to_bytes(32, "big") for k in (1, 2, 3, 4))
+    assert lib.ctt_bls12381_g1_msm(out96, pts, scalars, 4) == 0
+    teng = rm.ec_mul(10, g, 0, ctx.p)
+    assert out96.raw == teng[0].to_bytes(48, "big") + teng[1].to_bytes(48, "big")
